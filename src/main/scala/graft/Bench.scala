@@ -1,24 +1,108 @@
 package graft
+
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness (BASELINE.md protocol).
+  *
+  * 1. Times every SparkEntry query on SPARK_GRAFT_SF_DIR (driver contract:
+  *    one JSON line on stdout).
+  * 2. PageRank throughput: deterministic power-law edge table (seeded, no
+  *    external data), damped power iteration to L-inf < 1e-6, throughput =
+  *    edges * iterations / wall-seconds-in-iterations.
+  * 3. Scaling: the same job + input at local[8] and local[32] (the sandbox
+  *    substitution for N vs 4N executors); efficiency = (tp32/tp8)/4.
+  *    Numbers also written to BENCH.md.
+  */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+  }
+
+  /** One timed PageRank run; returns (iterations, seconds, edges/sec/iter). */
+  private def pageRankRun(cpus: Int, edgesPath: String): (Int, Double, Double, Long) = {
+    val spark = session(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val edges = spark.read.parquet(edgesPath)
+    // Warm the JIT/codegen paths once on a small prefix (excluded from timing).
+    graft.algo.PageRank.run(spark, edges.limit(50000), maxIter = 3)
+    val t0 = System.nanoTime()
+    val res = graft.algo.PageRank.run(spark, edges, tol = 1e-6, maxIter = 60)
+    res.ranks.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val eps = res.numEdges.toDouble * res.iterations / secs
+    spark.stop()
+    (res.iterations, secs, eps, res.numEdges)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val skipScaling = sys.env.contains("SPARK_GRAFT_SKIP_SCALING")
+
+    // ---- phase 1: query timings on the driver-designated SF dir ----
+    val spark = session(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- phase 2: deterministic power-law edge table for PageRank ----
+    val benchEdgesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EDGES", "/tmp/graft_bench_edges")
+    val nVerts = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "250000").toLong
+    val mOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_M", "4").toInt
+    if (!Files.exists(Paths.get(benchEdgesPath, "_SUCCESS"))) {
+      graft.fixtures.Generators.powerLawEdges(spark, nVerts, mOut, seed = 42L)
+        .write.mode("overwrite").parquet(benchEdgesPath)
+    }
     spark.stop()
+
+    // ---- phase 3: scaling runs (local[8] vs local[32] on identical input) ----
+    val scaling = if (skipScaling) Map.empty[String, Double] else {
+      val (it8, s8, tp8, e) = pageRankRun(8, benchEdgesPath)
+      val (it32, s32, tp32, _) = pageRankRun(32, benchEdgesPath)
+      val eff = (tp32 / tp8) / 4.0
+      val md =
+        f"""# BENCH — PageRank throughput & scaling (BASELINE.md protocol)
+           |
+           |Input: deterministic power-law edge table (`Generators.powerLawEdges`,
+           |n=$nVerts%,d vertices, m=$mOut, seed=42), $e%,d edges after self-loop
+           |dedup. Damped power iteration d=0.85, dangling-mass redistribution,
+           |converged at L-inf < 1e-6 (or 60-iteration cap). Same parquet input
+           |for both runs; JIT warm-up run excluded from timing.
+           |
+           || parallelism | iterations | wall s | edges/sec/iteration |
+           ||---|---|---|---|
+           || local[8]  | $it8 | $s8%.1f | ${tp8 / 1e6}%.2f M |
+           || local[32] | $it32 | $s32%.1f | ${tp32 / 1e6}%.2f M |
+           |
+           |**Scaling efficiency (tp32/tp8)/4 = $eff%.3f** (pass criterion >= 0.8;
+           |sandbox substitution for N vs 4N executors per driver instruction).
+           |""".stripMargin
+      Files.writeString(Paths.get("/root/repo/BENCH.md"), md)
+      Map("pr_tp8" -> tp8, "pr_tp32" -> tp32, "pr_eff" -> eff,
+        "pr_iters8" -> it8.toDouble, "pr_iters32" -> it32.toDouble,
+        "pr_edges" -> e.toDouble)
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val extra = if (scaling.isEmpty) "" else {
+      val s = scaling.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+      s""","scaling":{$s}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$extra}""")
   }
 }

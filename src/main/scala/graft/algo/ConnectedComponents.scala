@@ -1,0 +1,109 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.graph.GraphOps
+
+/** Connected components via alternating large-star / small-star rounds
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+  * the formulation BASELINE.json's north rule mandates).
+  *
+  * Reference semantics being matched: every vertex is labeled with its
+  * component (reference `connectedComponents.c:25-35` `markComp`,
+  * `listComponents.c:306-319`). The reference numbers components by
+  * first-visit order of a sequential DFS; the distributed canonical label is
+  * the component's minimum vertex id. Tests compare the *partition* and also
+  * normalize min-vid labels to first-visit numbering for exact-id agreement
+  * (SURVEY.md §2.8.1).
+  *
+  * Scale design: each round is two groupBy-min + join passes; `min` is
+  * algebraic so map-side combine absorbs hub skew. Rounds converge in
+  * O(log n). Termination = the edge multiset reached a fixpoint, detected
+  * with a cheap 3-aggregate checksum double-confirmed by an exact anti-join
+  * only when the checksum says "stable" (so the expensive check runs once).
+  */
+object ConnectedComponents {
+
+  /** (vid, component) for every vertex that appears in `edges`; direction is
+    * ignored (reference graphs store undirected edges as two half-edges). */
+  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val p = GraphOps.defaultParallelism(spark)
+    val initial = GraphOps.canonicalEdges(edges)
+      .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .repartition(p, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val allVerts = GraphOps.vertices(initial).persist(StorageLevel.MEMORY_AND_DISK)
+    allVerts.count()
+
+    var e = initial
+    var round = 0
+    var converged = e.isEmpty
+    while (!converged && round < maxRounds) {
+      // localCheckpoint truncates the per-round lineage growth (the iterative
+      // analogue of GraphFrames' checkpoint interval); eager, so it also
+      // materializes the round for the cheap convergence counts below.
+      val t0 = System.nanoTime()
+      val ss = smallStar(largeStar(e)).localCheckpoint(true)
+      // Stable iff the (src,dst) set is unchanged; both sides are distinct
+      // sets here so equal counts + empty anti-join is an exact test.
+      val sameCount = ss.count() == e.count()
+      converged = sameCount && ss.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      if (e ne initial) e.unpersist(false)
+      e = ss
+      round += 1
+      if (sys.props.contains("graft.cc.verbose") || sys.env.contains("GRAFT_CC_VERBOSE"))
+        println(f"[cc] round=$round edges=${ss.count()} converged=$converged secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+
+    // Star edges point child -> root (src > dst); roots label themselves.
+    val labels = allVerts
+      .join(e.select(col("src").as("vid"), col("dst").as("component")), Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("component"), col("vid")).as("component"))
+    labels
+  }
+
+  /** large-star(u): connect every neighbor v > u to m = min(Γ(u) ∪ {u}). */
+  private[algo] def largeStar(e: DataFrame): DataFrame = {
+    val b = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val m = b.groupBy("src").agg(least(min(col("dst")), col("src").cast("long")).as("m"))
+      .select(col("src"), col("m"))
+    b.where(col("dst") > col("src"))
+      .join(m, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** small-star(u): connect every neighbor v <= u (and u itself) to
+    * m = min(Γ≤(u) ∪ {u}). Input edges already satisfy src > dst. */
+  private[algo] def smallStar(e: DataFrame): DataFrame = {
+    val b = e.select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+    val m = b.groupBy("src").agg(min(col("dst")).as("m"))
+    b.join(m, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(m.select(col("src"), col("m").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+      .distinct()
+  }
+
+  /** gf `-f numberOfConnectedComponents` equivalent
+    * (reference `listComponents.c:306-319`). */
+  def count(spark: SparkSession, edges: DataFrame): Long =
+    run(spark, edges).select(countDistinct("component")).head().getLong(0)
+
+  /** Normalize arbitrary component labels to the reference's first-visit
+    * numbering: components are renumbered 0..k-1 in order of their smallest
+    * *position* in the given vertex ordering (for fixture graphs whose vids
+    * are the visit order, this equals reference `listComponents.c:306-319`). */
+  def normalizeToFirstVisit(labels: DataFrame): DataFrame = {
+    val firstSeen = labels.groupBy("component").agg(min("vid").as("firstVid"))
+    val renum = firstSeen
+      .select(col("component"), (dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("firstVid"))) - 1).cast("long").as("normComponent"))
+    labels.join(renum, "component").select(col("vid"), col("normComponent").as("component"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines, each in its
+  * scalable Spark form:
+  *
+  *  - exact: content-hash groupBy (one shuffle on the hash).
+  *  - MinHash + LSH: shingle -> per-permutation min-hash -> band -> bucket
+  *    join; candidate pairs only ever meet inside a band bucket, so the
+  *    quadratic blowup is confined to near-duplicate clusters.
+  *  - SimHash: bit-vote fingerprint, hamming-adjacent buckets.
+  *  - n-gram Jaccard: exact verification on LSH/shared-shingle candidates.
+  *
+  * Hashes are md5-string based (not xxhash64) so every step has an
+  * engine-portable SQL oracle; at production scale the same pipeline swaps
+  * md5 for xxhash64 via [[hashExpr]] without changing shape. */
+object Dedup {
+
+  /** Pluggable token hash: portable md5 string (oracle mode). */
+  def hashExpr(c: Column, salt: Int): Column = md5(concat(lit(s"$salt:"), c))
+
+  /** Exact dedup: canonical representative (min key) per identical text. */
+  def exact(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val h = docs.select(col(keyCol).cast("long").as("key"), md5(col(textCol)).as("content_hash"))
+    val rep = h.groupBy("content_hash").agg(min("key").as("canonical"), count(lit(1)).as("group_size"))
+    h.join(rep, "content_hash")
+      .select(col("key").as(keyCol), col("canonical"), col("group_size"))
+  }
+
+  /** Per-document MinHash signature over distinct tokens: one column per
+    * permutation, minhash_i = min over tokens of md5("i:" + token). */
+  def minHashSignatures(docs: DataFrame, keyCol: String, textCol: String, numHashes: Int): DataFrame = {
+    val toks = array_distinct(TextOps.tokens(col(textCol)))
+    val sigs = (0 until numHashes).map { i =>
+      array_min(transform(toks, t => hashExpr(t, i))).as(s"mh$i")
+    }
+    docs.select((col(keyCol).cast("long").as("key") +: sigs): _*)
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band (band = hash of
+    * `rowsPerBand` consecutive minhashes). Returns (a, b, n_shared_bands). */
+  def lshCandidates(docs: DataFrame, keyCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minHashSignatures(docs, keyCol, textCol, numHashes)
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
+    }
+    val exploded = sig.select(col("key"), explode(array(bands: _*)).as("bb"))
+      .select(col("key"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val l = exploded.as("l")
+    val r = exploded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.key") < col("r.key"))
+      .groupBy(col("l.key").as("a"), col("r.key").as("b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Exact token-k-shingle Jaccard for every pair sharing >= 1 shingle.
+    * Scale path: the shingle self-join IS the candidate generation (inverted
+    * index); hot shingles can be capped upstream. */
+  def ngramJaccard(docs: DataFrame, keyCol: String, textCol: String, k: Int): DataFrame = {
+    val sh = docs.select(col(keyCol).cast("long").as("key"),
+      explode(array_distinct(TextOps.shingles(col(textCol), k))).as("sh"))
+    val sizes = sh.groupBy("key").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("l").join(sh.as("r"),
+        col("l.sh") === col("r.sh") && col("l.key") < col("r.key"))
+      .groupBy(col("l.key").as("a"), col("r.key").as("b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("key").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("key").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+  }
+
+  /** SimHash over `bits` bits (<=32), md5-nibble based so the SQL oracle
+    * reproduces it bit-for-bit: token bit j = nibble j/4 of md5(token),
+    * shifted j%4; sign of the +/-1 vote sum sets the fingerprint bit. */
+  def simHash(docs: DataFrame, keyCol: String, textCol: String, bits: Int): DataFrame = {
+    require(bits <= 32 && bits % 4 == 0)
+    val tok = docs.select(col(keyCol).cast("long").as("key"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val voteCols = (0 until bits).map { j =>
+      val c = ascii(substring(md5(col("tok")), 1 + j / 4, 1))
+      val nibble = when(c <= 57, c - 48).otherwise(c - 87) // '0'-'9' | 'a'-'f'
+      val bit = shiftright(nibble.cast("int"), j % 4).bitwiseAND(lit(1))
+      (bit * 2 - 1).cast("long").as(s"v$j")
+    }
+    val withBits = tok.select(col("key") +: voteCols: _*)
+    val votes = withBits.groupBy("key")
+      .agg((0 until bits).map(j => sum(col(s"v$j")).as(s"s$j")).head,
+        (0 until bits).map(j => sum(col(s"v$j")).as(s"s$j")).tail: _*)
+    val hash = (0 until bits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.select(col("key"), hash.cast("long").as("simhash"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared edge-table plumbing (SURVEY.md §1.3, §4).
+  *
+  * The reference stores undirected graphs as two directed half-edges per edge
+  * (reference `loading.c:407-425`); [[symmetrize]] mirrors that. Degrees mirror
+  * reference `graph.c:72-79`. All operators are pure DataFrame transforms so
+  * Catalyst handles pushdown/pruning; partitioning is made explicit where an
+  * iteration will reuse it (hash partition by the join key once, then every
+  * per-iteration join is exchange-free on that side).
+  */
+object GraphOps {
+
+  /** Normalize an arbitrary two-column frame into a canonical directed edge
+    * table (long src/dst, no self-loops, deduplicated). */
+  def canonicalEdges(edges: DataFrame): DataFrame =
+    edges
+      .select(col(edges.columns(0)).cast("long").as("src"), col(edges.columns(1)).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+
+  /** Both directed half-edges per undirected edge (reference `loading.c:418-425`). */
+  def symmetrize(edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges)
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** Distinct vertex ids appearing as either endpoint. */
+  def vertices(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("vid")).union(edges.select(col("dst").as("vid"))).distinct()
+
+  /** Undirected degree per vertex (reference `graph.c:72-79`).
+    * Map-side partial aggregation makes this skew-tolerant for hub vertices. */
+  def degrees(edges: DataFrame): DataFrame =
+    symmetrize(edges).groupBy(col("src").as("vid")).agg(count(lit(1)).as("degree"))
+
+  /** Out-degree on the directed edge table. */
+  def outDegrees(edges: DataFrame): DataFrame =
+    canonicalEdges(edges).groupBy(col("src").as("vid")).agg(count(lit(1)).as("odeg"))
+
+  /** CSR-style adjacency blocks: one row per vertex with the sorted neighbor
+    * array (SURVEY.md §2.10 — `sort_array(collect_list)` is the built-in CSR
+    * build; a typed Aggregator is the fallback if memory pressure demands). */
+  def adjacency(edges: DataFrame, directed: Boolean = false): DataFrame = {
+    val e = if (directed) canonicalEdges(edges) else symmetrize(edges)
+    e.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("neighbors"))
+  }
+
+  /** Hash-partition an edge table by a key column for iteration reuse
+    * (SURVEY.md §4 "what we must write"). */
+  def partitionBy(df: DataFrame, key: String, numPartitions: Int): DataFrame =
+    df.repartition(numPartitions, col(key))
+
+  /** Top-k hub vertices by degree — candidates for broadcast handling /
+    * salting under power-law skew (SURVEY.md §7.4.1). */
+  def hubs(edges: DataFrame, k: Int): DataFrame =
+    degrees(edges).orderBy(desc("degree"), asc("vid")).limit(k)
+
+  /** Number of shuffle partitions configured on the session; the engine keys
+    * every iteration-reused exchange off this single knob. */
+  def defaultParallelism(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+}

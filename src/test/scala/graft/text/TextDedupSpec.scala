@@ -1,0 +1,82 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.dedup.Dedup
+
+class TextDedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tokenization drops empty tokens; counts match") {
+    val d = docs((1L, "a b  c"), (2L, ""), (3L, " x "))
+    val got = d.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("shingles: ordered k-grams, too-short docs yield empty") {
+    val d = docs((1L, "a b c d"), (2L, "a b"))
+    val got = d.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L).isEmpty)
+  }
+
+  test("langId: marker argmax with min-code tie-break and und fallback") {
+    val d = docs(
+      (1L, "the cat and the dog"),   // en
+      (2L, "der hund und die katze"), // de
+      (3L, "xyzzy plugh"),            // und
+      (4L, "la la"))                  // es/fr tie on 'la' -> es (min code)
+    val got = d.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und", 4L -> "es"))
+  }
+
+  test("exact dedup groups identical texts under min doc_id") {
+    val d = docs((1L, "same text"), (2L, "same text"), (3L, "other"))
+    val got = Dedup.exact(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
+  }
+
+  test("minhash: identical docs share signatures; jaccard-similar docs share some") {
+    val d = docs((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d f"), (4L, "q r s t u"))
+    val sig = Dedup.minHashSignatures(d, "doc_id", "text", 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(4L))
+    val shared13 = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(shared13 > 0) // J(1,3)=4/6, expect most minima shared
+  }
+
+  test("LSH candidates contain the identical pair") {
+    val d = docs((1L, "a b c d e"), (2L, "a b c d e"), (3L, "z y x w v"))
+    val pairs = Dedup.lshCandidates(d, "doc_id", "text", numHashes = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: exact overlap arithmetic") {
+    val d = docs((1L, "a b c d"), (2L, "a b c e"), (3L, "p q r s"))
+    val got = Dedup.ngramJaccard(d, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // shingles(1)={abc,bcd}, shingles(2)={abc,bce}: J = 1/3
+    assert(math.abs(got((1L, 2L)) - 1.0 / 3) < 1e-12)
+    assert(!got.contains((1L, 3L)))
+  }
+
+  test("simhash: identical texts equal; token-disjoint texts differ") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z w q"))
+    val got = Dedup.simHash(d, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+    assert(got.values.forall(h => h >= 0 && h < (1 << 16)))
+  }
+}
