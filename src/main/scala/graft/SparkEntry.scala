@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.MiningQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracleSql ++
       graft.queries.SimilarityQueries.oracleSql ++
       graft.queries.EventQueries.oracleSql ++
-      graft.queries.MultimodalQueries.oracleSql
+      graft.queries.MultimodalQueries.oracleSql ++
+      graft.queries.MiningQueries.oracleSql
 }

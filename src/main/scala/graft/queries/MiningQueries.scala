@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mining-layer coverage (SURVEY.md §2.4/§2.7 and the lwg/ts/gpe shapes):
+  * frequent labels, canonical triangle fingerprints, per-graph tree kernels
+  * over a transactional graph DB derived from the relational tables. */
+object MiningQueries {
+
+  import Tables.t
+
+  /** Transactional graph DB derived from orders: one graph per order-priority
+    * class is too few; instead one graph per customer: vertices = the
+    * customer's orders chained by date (a path/tree per graph). Derivable in
+    * SQL, small graphs, many of them — the reference's DB shape. */
+  private def orderChainEdges(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("o_custkey").cast("long").as("graph_id"),
+        col("prev").cast("long").as("src"), col("o_orderkey").cast("long").as("dst"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // frequent vertex labels across the graph DB (lwm_initAndCollect.c:246:
+    // per-graph distinct -> global count -> threshold)
+    "f_frequent_labels" -> ((s, dir) => {
+      val labels = t(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("graph_id"), col("o_orderpriority").as("label"))
+      labels.distinct()
+        .groupBy("label").agg(count(lit(1)).as("support"))
+        .where(col("support") >= 500)
+        .orderBy("label")
+    }),
+
+    // frequent edge label triples (minLabel, edgeLabel, maxLabel) analogue:
+    // normalized (status, priority) pairs on order edges
+    "f_frequent_edges" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val pairs = o.as("a").join(o.as("b"),
+          col("a.o_custkey") === col("b.o_custkey") && col("a.o_orderkey") < col("b.o_orderkey"))
+        .select(col("a.o_custkey").cast("long").as("graph_id"),
+          least(col("a.o_orderstatus"), col("b.o_orderstatus")).as("minLabel"),
+          greatest(col("a.o_orderstatus"), col("b.o_orderstatus")).as("maxLabel"))
+      pairs.distinct()
+        .groupBy("minLabel", "maxLabel").agg(count(lit(1)).as("support"))
+        .where(col("support") >= 100)
+        .orderBy("minLabel", "maxLabel")
+    }),
+
+    // canonical triangle fingerprint: min md5 over the 6 rotations/reflections
+    // of the label triple (reference patternExtractor.c:121-177 fingerprintTriple)
+    "f_triangle_fingerprint" -> ((s, dir) => {
+      val tri = graft.algo.Triangles.enumerate(s, Tables.coSupplierEdges(s, dir))
+      val lab = t(s, dir, "supplier").select(col("s_suppkey").as("vid"), col("s_nationkey").cast("string").as("lab"))
+      val withLabs = tri
+        .join(lab.select(col("vid").as("a"), col("lab").as("la")), "a")
+        .join(lab.select(col("vid").as("b"), col("lab").as("lb")), "b")
+        .join(lab.select(col("vid").as("c"), col("lab").as("lc")), "c")
+      val rots = Seq(("la", "lb", "lc"), ("lb", "lc", "la"), ("lc", "la", "lb"),
+        ("la", "lc", "lb"), ("lc", "lb", "la"), ("lb", "la", "lc"))
+        .map { case (x, y, z) => md5(concat_ws("|", col(x), col(y), col(z))) }
+      withLabs
+        .select(least(rots: _*).as("fingerprint"))
+        .groupBy("fingerprint").agg(count(lit(1)).as("n"))
+        .orderBy("fingerprint")
+    }),
+
+    // per-graph canonical strings over the order-chain DB (cstring tool)
+    "f_cstring" -> ((s, dir) => {
+      val e = orderChainEdges(s, dir)
+      val labels = e.select(col("graph_id"), col("src").as("vno"))
+        .union(e.select(col("graph_id"), col("dst")))
+        .distinct().withColumn("label", lit("o"))
+      graft.trees.TreeOps.canonicalStrings(s, e, labels)
+        .groupBy("cstring").agg(count(lit(1)).as("n_graphs"))
+        .orderBy("cstring")
+    }),
+
+    // ts-equivalent: spanning-tree sampling per graph, distinct-class counts
+    // (randomized but seeded; no SQL oracle -> rows-only check)
+    "f_tree_sampling" -> ((s, dir) => {
+      graft.trees.TreeOps.sampleSpanningTrees(s, orderChainEdges(s, dir), k = 3, seed = 42L)
+        .select(col("graph_id"), col("n_distinct"))
+        .orderBy("graph_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "f_frequent_labels" ->
+      """SELECT label, count(*)::BIGINT AS support FROM (
+        |  SELECT DISTINCT o_custkey AS graph_id, o_orderpriority AS label FROM orders)
+        |GROUP BY label HAVING count(*) >= 500 ORDER BY label""".stripMargin,
+
+    "f_frequent_edges" ->
+      """SELECT minLabel, maxLabel, count(*)::BIGINT AS support FROM (
+        |  SELECT DISTINCT a.o_custkey AS graph_id,
+        |    least(a.o_orderstatus, b.o_orderstatus) AS minLabel,
+        |    greatest(a.o_orderstatus, b.o_orderstatus) AS maxLabel
+        |  FROM orders a JOIN orders b
+        |    ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey)
+        |GROUP BY minLabel, maxLabel HAVING count(*) >= 100 ORDER BY minLabel, maxLabel""".stripMargin,
+
+    "f_triangle_fingerprint" -> {
+      val rots = Seq(("la", "lb", "lc"), ("lb", "lc", "la"), ("lc", "la", "lb"),
+        ("la", "lc", "lb"), ("lc", "lb", "la"), ("lb", "la", "lc"))
+        .map { case (x, y, z) => s"md5($x || '|' || $y || '|' || $z)" }
+        .mkString("least(", ", ", ")")
+      s"""WITH e0 AS (${Tables.coSupplierSql}),
+         | e AS (SELECT least(src,dst) AS src, greatest(src,dst) AS dst FROM e0 GROUP BY 1,2),
+         | deg AS (SELECT vid, count(*) AS d FROM (
+         |     SELECT src AS vid FROM e UNION ALL SELECT dst FROM e) GROUP BY vid),
+         | tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |         FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         | lab AS (SELECT s_suppkey AS vid, s_nationkey::VARCHAR AS l FROM supplier),
+         | labeled AS (SELECT x.l AS la, y.l AS lb, z.l AS lc
+         |             FROM tri JOIN lab x ON x.vid = tri.a JOIN lab y ON y.vid = tri.b JOIN lab z ON z.vid = tri.c)
+         |SELECT $rots AS fingerprint, count(*)::BIGINT AS n
+         |FROM labeled GROUP BY 1 ORDER BY fingerprint""".stripMargin
+    }
+    // f_cstring, f_tree_sampling: per-graph recursive kernels — not ANSI-SQL
+    // expressible; the driver records rows-only checks for them.
+  )
+}
