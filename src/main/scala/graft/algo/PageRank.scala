@@ -17,8 +17,9 @@ import graft.run.IterationCheckpoint
   * goldens come from [[graft.fixtures.ReferenceOracles.pageRankScalar]].
   *
   * Scale design (one shuffle per iteration):
-  *  - `links(src, dst, odeg)` is hash-partitioned by `src` once and persisted;
-  *    the per-iteration `ranks ⋈ links` is then exchange-free on both sides
+  *  - CSR adjacency `adj(src, nbrs, odeg)` (one row per source vertex) is
+  *    hash-partitioned by `src` once and persisted; the per-iteration
+  *    `ranks ⋈ adj` is a |V|x|V| shuffled-hash join, exchange-free on both sides
   *    because `ranks` exits each iteration hash-partitioned by `vid` (= the
   *    join key) from the previous `groupBy(dst)`.
   *  - the scatter `groupBy(dst).sum` is the single per-iteration shuffle;
@@ -31,7 +32,20 @@ import graft.run.IterationCheckpoint
   */
 object PageRank {
 
-  final case class Result(ranks: DataFrame, iterations: Int, delta: Double, numVertices: Long, numEdges: Long)
+  /** Cut the logical plan every k iterations (between cuts, persisted
+    * intermediates keep the plan shallow enough while saving the extra
+    * eager-checkpoint job per iteration). */
+  private val LineageTruncateEvery = 5
+
+  final case class Result(ranks: DataFrame, iterations: Int, delta: Double, numVertices: Long, numEdges: Long,
+      setupSecs: Double = 0.0, iterSecs: Double = 0.0, iterSecsEach: Seq[Double] = Nil) {
+    /** Median per-iteration seconds — the robust "sustained" rate (hypervisor
+      * steal / GC spikes excluded), per BASELINE.md's median-of-runs rule. */
+    def iterSecsMedian: Double = if (iterSecsEach.isEmpty) iterSecs else {
+      val s = iterSecsEach.sorted
+      s(s.size / 2)
+    }
+  }
 
   def run(
       spark: SparkSession,
@@ -40,27 +54,38 @@ object PageRank {
       tol: Double = 1e-6,
       maxIter: Int = 200,
       numPartitions: Option[Int] = None,
-      checkpoint: Option[IterationCheckpoint] = None): Result = {
+      checkpoint: Option[IterationCheckpoint] = None,
+      fusedIterations: Int = 1): Result = {
 
+    val setupT0 = System.nanoTime()
     val p = numPartitions.getOrElse(GraphOps.defaultParallelism(spark))
-    val e = GraphOps.canonicalEdges(edges)
+    // collect_list's ObjectHashAggregate falls back to sort-based agg after a
+    // tiny default key threshold — raise it so the one-time CSR build stays a
+    // hash aggregation (keys are vertex ids; values are small arrays).
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "20000000")
+    // Scanned exactly twice during setup (adj build + vertex set), so cache it.
+    val e = GraphOps.canonicalEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Static structures: out-degrees, link table, vertex set with dangling flag.
-    val odeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
-    val links = e
-      .join(odeg, "src")
-      .select(col("src"), col("dst"), col("odeg"))
+    // Static structures: CSR adjacency blocks (one row per source vertex,
+    // SURVEY.md §4) and the vertex set with a static dangling flag. The
+    // per-iteration join is then |V| x |V| on the partition key — the edge
+    // fan-out happens map-side via explode, never in the join itself.
+    val adj = e
       .repartition(p, col("src"))
+      .groupBy("src")
+      .agg(collect_list(col("dst")).as("nbrs"))
+      .select(col("src"), col("nbrs"), size(col("nbrs")).cast("double").as("odeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val verts = GraphOps
       .vertices(e)
-      .join(odeg.select(col("src").as("vid"), lit(true).as("hasOut")), Seq("vid"), "left")
+      .join(adj.select(col("src").as("vid"), lit(true).as("hasOut")), Seq("vid"), "left")
       .select(col("vid"), col("hasOut").isNull.as("dangling"))
       .repartition(p, col("vid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val numEdges = links.count()
+    val numEdges = adj.agg(coalesce(sum(size(col("nbrs"))), lit(0))).head().getLong(0)
     val n = verts.count()
+    e.unpersist(false)
     if (n == 0) {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -81,51 +106,83 @@ object PageRank {
         (0, r0)
     }
 
-    var ranks = startRanks
-    var danglingMass = ranks.where(col("dangling")).agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
-    var delta = Double.MaxValue
-    var iter = startIter
-
-    while (delta >= tol && iter < maxIter) {
-      val contribs = ranks.as("r")
-        .join(links.as("l"), col("r.vid") === col("l.src"))
-        .groupBy(col("l.dst").as("vid"))
-        .agg(sum(col("r.rank") / col("l.odeg")).as("contrib"))
-
-      val base = teleport + damping * danglingMass / n
-      // localCheckpoint (eager) materializes the iteration AND truncates the
-      // logical plan — without it the per-iteration plan tree grows without
-      // bound and the driver chokes on plan processing long before data does.
-      // It preserves the hash partitioning on vid, so the next iteration's
-      // join stays exchange-free. On a multi-node cluster swap (or augment)
-      // with reliable checkpointing via IterationCheckpoint below.
-      val newRanks = verts
-        .join(contribs, Seq("vid"), "left")
+    // One PageRank step as a pure DataFrame transform. The dangling mass
+    // enters as an in-plan broadcast aggregate (a 1-row relation), NOT a
+    // driver-side scalar: that keeps the whole step inside one job, so
+    // `fusedIterations` steps chain into a single action and the serial
+    // driver cost (analysis, codegen, scheduling) amortizes across them —
+    // the lever that makes strong scaling visible once executor time per
+    // iteration is small. No literal changes between iterations, so the
+    // generated code is byte-identical and the codegen cache hits.
+    def step(cur: DataFrame): DataFrame = {
+      val baseDf = cur
+        .where(col("dangling"))
+        .agg((lit(teleport) + lit(damping) * coalesce(sum("rank"), lit(0.0)) / lit(n.toDouble)).as("base"))
+      val contribs = cur.as("r")
+        .join(adj.as("l").hint("shuffle_hash"), col("r.vid") === col("l.src"))
+        .select((col("r.rank") / col("l.odeg")).as("w"), explode(col("l.nbrs")).as("vid"))
+        .groupBy(col("vid"))
+        .agg(sum(col("w")).as("contrib"))
+      verts
+        .join(contribs.hint("shuffle_hash"), Seq("vid"), "left")
+        .crossJoin(broadcast(baseDf))
         .select(
           col("vid"),
-          (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"),
+          (col("base") + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"),
           col("dangling"))
-        .localCheckpoint(true)
+    }
 
-      // Single action: L-inf delta vs previous ranks + next dangling mass.
-      val stats = newRanks.as("n")
-        .join(ranks.as("p"), col("n.vid") === col("p.vid"))
-        .agg(
-          max(abs(col("n.rank") - col("p.rank"))).as("delta"),
-          sum(when(col("n.dangling"), col("n.rank")).otherwise(lit(0.0))).as("dmass"))
-        .head()
-      delta = stats.getDouble(0)
-      danglingMass = stats.getDouble(1)
+    var ranks = startRanks
+    var delta = Double.MaxValue
+    var iter = startIter
+    val fused = math.max(1, fusedIterations)
+    val setupSecs = (System.nanoTime() - setupT0) / 1e9
+    val loopT0 = System.nanoTime()
+    val iterTimes = scala.collection.mutable.ArrayBuffer[Double]()
+
+    while (delta >= tol && iter < maxIter) {
+      val iterT0 = System.nanoTime()
+      var cur = ranks
+      val steps = math.min(fused, maxIter - iter)
+      // Persist every intermediate step: each step's dangling-mass broadcast
+      // subquery runs as its own mini-job, and WITHOUT a persist that job and
+      // the main job would re-execute the whole upstream chain (no exchange
+      // reuse across separately-submitted jobs) — exponential in the fuse
+      // depth. With the persist each step is computed exactly once.
+      val intermediates = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      for (k <- 0 until steps) {
+        cur = step(cur)
+        if (k < steps - 1) { cur = cur.persist(StorageLevel.MEMORY_AND_DISK); intermediates += cur }
+      }
+      // localCheckpoint (eager) materializes the fused block AND truncates
+      // the logical plan (unbounded plan growth chokes the driver long before
+      // data does). It preserves the hash partitioning on vid, so the next
+      // block's join stays exchange-free. On a multi-node cluster swap (or
+      // augment) with reliable checkpointing via IterationCheckpoint.
+      val newRanks = cur.localCheckpoint(true)
+
+      // One action per fused block: L-inf delta vs the previous materialized
+      // ranks (a K-step delta — conservative: never stops earlier than the
+      // true per-step test would).
+      delta = newRanks.as("n")
+        .join(ranks.as("p").hint("shuffle_hash"), col("n.vid") === col("p.vid"))
+        .agg(max(abs(col("n.rank") - col("p.rank"))).as("delta"))
+        .head().getDouble(0)
 
       ranks.unpersist(false)
+      intermediates.foreach(_.unpersist(false))
       ranks = newRanks
-      iter += 1
+      iter += steps
+      iterTimes += (System.nanoTime() - iterT0) / 1e9 / steps
+      if (sys.env.contains("GRAFT_PR_VERBOSE"))
+        println(f"[pr] iter=$iter delta=$delta%.3e secs/iter=${(System.nanoTime() - iterT0) / 1e9 / steps}%.2f")
       checkpoint.foreach(_.maybeWrite(iter, delta, ranks.select("vid", "rank", "dangling")))
     }
 
-    links.unpersist(false)
+    adj.unpersist(false)
     verts.unpersist(false)
-    Result(ranks.select(col("vid"), col("rank")), iter, delta, n, numEdges)
+    Result(ranks.select(col("vid"), col("rank")), iter, delta, n, numEdges,
+      setupSecs, (System.nanoTime() - loopT0) / 1e9, iterTimes.toSeq)
   }
 
   /** Fixed-iteration variant (no convergence action inside the loop beyond

@@ -52,6 +52,25 @@ object GraphMeasures {
         (col("n_components") === 1 && col("m") === col("n") - 1 && col("max_degree") <= 2).as("path"))
   }
 
+  /** Block-structure measures per graph (gf -f numberOfBiconnectedComponents
+    * / numberOfBridges / maxBlockDegree / cactus / spanningTreeEstimate;
+    * reference `listComponents.c:52-204`, `outerplanar.c:39`,
+    * `upperBoundsForSpanningTrees.c:150`): Tarjan per graph via
+    * [[graft.trees.GraphKernels]], parallel across graphs. */
+  def blockMeasures(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    edges.select(col("graph_id").cast("long"), col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (gid, it) =>
+        val s = graft.trees.GraphKernels.blockStats(it.map(t => (t._2, t._3)).toSeq)
+        (gid, s.nBlocks, s.nBridges, s.nBiconnected, s.maxBlockDegree, s.minBlockDegree,
+          s.isCactus, math.rint(s.spanningTreeEstimateLog * 1e6) / 1e6)
+      }
+      .toDF("graph_id", "n_blocks", "n_bridges", "n_biconnected",
+        "max_block_degree", "min_block_degree", "is_cactus", "spanning_tree_estimate_log")
+  }
+
   /** The full gf pipeline: measure -> comparator -> projection
     * (reference `filter.c` dispatch; `-o id|value|idAndValue`). */
   def gf(spark: SparkSession, edges: DataFrame, measure: String, cmp: String, value: Long,

@@ -55,18 +55,27 @@ object MiningQueries {
     // canonical triangle fingerprint: min md5 over the 6 rotations/reflections
     // of the label triple (reference patternExtractor.c:121-177 fingerprintTriple)
     "f_triangle_fingerprint" -> ((s, dir) => {
+      // The fingerprint (min over all 6 md5'd permutations) is a function of
+      // the label MULTISET only, so count triangles per sorted label triple
+      // first (codegen'd array_sort on 3 elements, partial agg collapses the
+      // millions of triangles to <= |labels|^3/6 classes) and hash the few
+      // surviving classes — not each triangle (md5 x6 per triangle would
+      // dominate the whole pipeline at scale).
       val tri = graft.algo.Triangles.enumerate(s, Tables.coSupplierEdges(s, dir))
       val lab = t(s, dir, "supplier").select(col("s_suppkey").as("vid"), col("s_nationkey").cast("string").as("lab"))
-      val withLabs = tri
-        .join(lab.select(col("vid").as("a"), col("lab").as("la")), "a")
-        .join(lab.select(col("vid").as("b"), col("lab").as("lb")), "b")
-        .join(lab.select(col("vid").as("c"), col("lab").as("lc")), "c")
-      val rots = Seq(("la", "lb", "lc"), ("lb", "lc", "la"), ("lc", "la", "lb"),
-        ("la", "lc", "lb"), ("lc", "lb", "la"), ("lb", "la", "lc"))
-        .map { case (x, y, z) => md5(concat_ws("|", col(x), col(y), col(z))) }
-      withLabs
-        .select(least(rots: _*).as("fingerprint"))
-        .groupBy("fingerprint").agg(count(lit(1)).as("n"))
+      val byTriple = tri
+        .join(broadcast(lab.select(col("vid").as("a"), col("lab").as("la"))), "a")
+        .join(broadcast(lab.select(col("vid").as("b"), col("lab").as("lb"))), "b")
+        .join(broadcast(lab.select(col("vid").as("c"), col("lab").as("lc"))), "c")
+        .select(array_sort(array(col("la"), col("lb"), col("lc"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n"))
+      val rots = Seq((0, 1, 2), (1, 2, 0), (2, 0, 1), (0, 2, 1), (2, 1, 0), (1, 0, 2))
+        .map { case (x, y, z) =>
+          md5(concat_ws("|", col("t").getItem(x), col("t").getItem(y), col("t").getItem(z)))
+        }
+      byTriple
+        .select(least(rots: _*).as("fingerprint"), col("n"))
+        .groupBy("fingerprint").agg(sum("n").as("n"))
         .orderBy("fingerprint")
     }),
 
@@ -86,6 +95,20 @@ object MiningQueries {
     "f_tree_sampling" -> ((s, dir) => {
       graft.trees.TreeOps.sampleSpanningTrees(s, orderChainEdges(s, dir), k = 3, seed = 42L)
         .select(col("graph_id"), col("n_distinct"))
+        .orderBy("graph_id")
+    }),
+
+    // gf block measures over a graph DB (one graph per nation: that nation's
+    // co-supplier subgraph). Tarjan kernel -> rows-only check (no SQL oracle).
+    "f_block_measures" -> ((s, dir) => {
+      val lab = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("vid"), col("s_nationkey").cast("long").as("nation"))
+      val e = Tables.coSupplierEdges(s, dir)
+        .join(lab.select(col("vid").as("src"), col("nation").as("gn")), "src")
+        .join(lab.select(col("vid").as("dst"), col("nation").as("gn2")), "dst")
+        .where(col("gn") === col("gn2"))
+        .select(col("gn").as("graph_id"), col("src"), col("dst"))
+      graft.measures.GraphMeasures.blockMeasures(s, e)
         .orderBy("graph_id")
     })
   )
