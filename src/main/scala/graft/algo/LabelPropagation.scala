@@ -24,9 +24,9 @@ import graft.graph.GraphOps
   * Scale design: both modes are one shuffle per iteration — scatter labels
   * across edges, `groupBy(dst)` aggregate. `collect_list` of neighbor labels
   * is bounded by max degree; for WL on power-law graphs the signature of a
-  * hub is large, so the hash-combine variant (`wlRelabelHashed`) folds
-  * neighbor hashes with a commutative sum+xor pair instead of materializing
-  * the sorted list, keeping partial aggregation map-side.
+  * hub is large, so the hash-combine variant ([[wlRefineHashed]]) folds
+  * neighbor hashes with a commutative (sum, bit_xor, count) triple instead of
+  * materializing the sorted list, keeping partial aggregation map-side.
   */
 object LabelPropagation {
 
@@ -63,6 +63,48 @@ object LabelPropagation {
         .select(col("vid"), xxhash64(col("signature")).as("label"))
         .repartition(p, col("vid"))
         .localCheckpoint(true) // truncate per-round lineage (see PageRank)
+      labels.unpersist(false)
+      labels = next
+      i += 1
+    }
+    sym.unpersist(false)
+    labels
+  }
+
+  /** k WL rounds with COMMUTATIVE hash combination — the web-scale variant:
+    * a hub's refinement state is a constant-size (sum, bit_xor, count) fold
+    * of its neighbors' label hashes rather than an O(degree) sorted list, so
+    * map-side partial aggregation stays effective under power-law skew and no
+    * per-vertex array is ever materialized. Induces the same partition
+    * refinement as [[wlRefine]] up to hash collisions (multiset-equal
+    * neighbor labels give identical (sum, xor, count) triples; tests compare
+    * partitions on fixtures). */
+  def wlRefineHashed(spark: SparkSession, edges: DataFrame, initialLabels: DataFrame, rounds: Int): DataFrame = {
+    val p = GraphOps.defaultParallelism(spark)
+    val sym = GraphOps.symmetrize(edges).repartition(p, col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = initialLabels
+      .select(col(initialLabels.columns(0)).cast("long").as("vid"),
+        xxhash64(col(initialLabels.columns(1)).cast("string")).as("label"))
+      .repartition(p, col("vid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var i = 0
+    while (i < rounds) {
+      val folded = sym
+        .join(labels.withColumnRenamed("vid", "dst"), "dst")
+        .select(col("src").as("vid"), xxhash64(col("label")).as("h"))
+        // sum folds hashes reduced to 32 bits so the ANSI-checked long sum
+        // cannot overflow below 2^31 neighbors (far above any real degree)
+        .groupBy("vid")
+        .agg(sum(pmod(col("h"), lit(1L << 32))).as("hsum"),
+          expr("bit_xor(h)").as("hxor"), count(lit(1)).as("hcnt"))
+      val next = labels
+        .join(folded, Seq("vid"), "left")
+        .select(col("vid"), xxhash64(col("label"),
+          coalesce(col("hsum"), lit(0L)), coalesce(col("hxor"), lit(0L)),
+          coalesce(col("hcnt"), lit(0L))).as("label"))
+        .repartition(p, col("vid"))
+        .localCheckpoint(true)
       labels.unpersist(false)
       labels = next
       i += 1

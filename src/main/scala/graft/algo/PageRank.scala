@@ -16,19 +16,27 @@ import graft.run.IterationCheckpoint
   * preferential attachment, reference `randomGraphGenerators.c:262-330`);
   * goldens come from [[graft.fixtures.ReferenceOracles.pageRankScalar]].
   *
-  * Scale design (one shuffle per iteration):
+  * Scale design (one shuffle AND one action per iteration):
   *  - CSR adjacency `adj(src, nbrs, odeg)` (one row per source vertex) is
   *    hash-partitioned by `src` once and persisted; the per-iteration
   *    `ranks ⋈ adj` is a |V|x|V| shuffled-hash join, exchange-free on both sides
   *    because `ranks` exits each iteration hash-partitioned by `vid` (= the
-  *    join key) from the previous `groupBy(dst)`.
+  *    join key) from the previous `groupBy(dst)`. The hash table is built on
+  *    the *narrow* ranks side, never on the array-bearing adjacency side.
   *  - the scatter `groupBy(dst).sum` is the single per-iteration shuffle;
   *    `sum` is algebraic so map-side partial aggregation absorbs hub skew
   *    (no salting needed for commutative message combination).
-  *  - dangling mass and L-inf delta are fused into ONE action per iteration:
-  *    the convergence aggregate over the new ranks also sums the rank mass
-  *    sitting on statically-flagged dangling vertices, which is exactly the
-  *    mass to redistribute in the NEXT iteration.
+  *  - ONE action per iteration: the convergence aggregate over
+  *    `new ⋈ prev` (both co-partitioned, exchange-free) computes the L-inf
+  *    delta AND the dangling rank mass of the new vector in the same pass;
+  *    that mass is exactly the scalar the NEXT iteration redistributes, so no
+  *    separate dangling-mass job (and no in-plan broadcast subquery whose
+  *    exchange would have to be re-executed) ever runs. Materialization of
+  *    the new ranks is a persist populated as a side effect of that action.
+  *    Measured motivation: the previous fused-block formulation allocated
+  *    ~3x more per iteration (intermediate columnar caches + per-step hash
+  *    relations over the adjacency arrays), and on a steal-heavy host every
+  *    extra GB of garbage turns into multi-second stop-the-world pauses.
   */
 object PageRank {
 
@@ -54,8 +62,7 @@ object PageRank {
       tol: Double = 1e-6,
       maxIter: Int = 200,
       numPartitions: Option[Int] = None,
-      checkpoint: Option[IterationCheckpoint] = None,
-      fusedIterations: Int = 1): Result = {
+      checkpoint: Option[IterationCheckpoint] = None): Result = {
 
     val setupT0 = System.nanoTime()
     val p = numPartitions.getOrElse(GraphOps.defaultParallelism(spark))
@@ -98,84 +105,73 @@ object PageRank {
     val teleport = (1.0 - damping) / n
 
     // Resume support: start from the latest checkpointed iteration if present.
-    val (startIter, startRanks) = checkpoint.flatMap(_.latest(spark)) match {
-      case Some((it, df)) => (it, df.repartition(p, col("vid")).persist(StorageLevel.MEMORY_AND_DISK))
+    // `danglingMass` is the rank mass sitting on dangling vertices in the
+    // CURRENT vector — the scalar each iteration redistributes uniformly.
+    // For a resumed vector it costs one extra aggregate; for the uniform
+    // start it is danglingCount/n, computed in the same pass as nothing
+    // (the verts cache is already materialized).
+    val (startIter, startRanks, startMass) = checkpoint.flatMap(_.latest(spark)) match {
+      case Some((it, df)) =>
+        val r = df.repartition(p, col("vid")).persist(StorageLevel.MEMORY_AND_DISK)
+        val m = r.agg(coalesce(sum(when(col("dangling"), col("rank")).otherwise(0.0)), lit(0.0))).head().getDouble(0)
+        (it, r, m)
       case None =>
         val r0 = verts.select(col("vid"), lit(1.0 / n).as("rank"), col("dangling"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        (0, r0)
-    }
-
-    // One PageRank step as a pure DataFrame transform. The dangling mass
-    // enters as an in-plan broadcast aggregate (a 1-row relation), NOT a
-    // driver-side scalar: that keeps the whole step inside one job, so
-    // `fusedIterations` steps chain into a single action and the serial
-    // driver cost (analysis, codegen, scheduling) amortizes across them —
-    // the lever that makes strong scaling visible once executor time per
-    // iteration is small. No literal changes between iterations, so the
-    // generated code is byte-identical and the codegen cache hits.
-    def step(cur: DataFrame): DataFrame = {
-      val baseDf = cur
-        .where(col("dangling"))
-        .agg((lit(teleport) + lit(damping) * coalesce(sum("rank"), lit(0.0)) / lit(n.toDouble)).as("base"))
-      val contribs = cur.as("r")
-        .join(adj.as("l").hint("shuffle_hash"), col("r.vid") === col("l.src"))
-        .select((col("r.rank") / col("l.odeg")).as("w"), explode(col("l.nbrs")).as("vid"))
-        .groupBy(col("vid"))
-        .agg(sum(col("w")).as("contrib"))
-      verts
-        .join(contribs.hint("shuffle_hash"), Seq("vid"), "left")
-        .crossJoin(broadcast(baseDf))
-        .select(
-          col("vid"),
-          (col("base") + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"),
-          col("dangling"))
+        val danglingCount = verts.where(col("dangling")).count()
+        (0, r0, danglingCount.toDouble / n)
     }
 
     var ranks = startRanks
+    var danglingMass = startMass
     var delta = Double.MaxValue
     var iter = startIter
-    val fused = math.max(1, fusedIterations)
     val setupSecs = (System.nanoTime() - setupT0) / 1e9
     val loopT0 = System.nanoTime()
     val iterTimes = scala.collection.mutable.ArrayBuffer[Double]()
 
     while (delta >= tol && iter < maxIter) {
       val iterT0 = System.nanoTime()
-      var cur = ranks
-      val steps = math.min(fused, maxIter - iter)
-      // Persist every intermediate step: each step's dangling-mass broadcast
-      // subquery runs as its own mini-job, and WITHOUT a persist that job and
-      // the main job would re-execute the whole upstream chain (no exchange
-      // reuse across separately-submitted jobs) — exponential in the fuse
-      // depth. With the persist each step is computed exactly once.
-      val intermediates = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      for (k <- 0 until steps) {
-        cur = step(cur)
-        if (k < steps - 1) { cur = cur.persist(StorageLevel.MEMORY_AND_DISK); intermediates += cur }
-      }
-      // localCheckpoint (eager) materializes the fused block AND truncates
-      // the logical plan (unbounded plan growth chokes the driver long before
-      // data does). It preserves the hash partitioning on vid, so the next
-      // block's join stays exchange-free. On a multi-node cluster swap (or
-      // augment) with reliable checkpointing via IterationCheckpoint.
-      val newRanks = cur.localCheckpoint(true)
+      // Gather-scatter: fan rank/odeg out over the CSR rows (map-side explode,
+      // never inside the join), partial-agg, one exchange on vid, final agg.
+      // Build side = narrow ranks rows; the array-bearing adj side streams.
+      val contribs = ranks.as("r").hint("shuffle_hash")
+        .join(adj.as("l"), col("r.vid") === col("l.src"))
+        .select((col("r.rank") / col("l.odeg")).as("w"), explode(col("l.nbrs")).as("vid"))
+        .groupBy(col("vid"))
+        .agg(sum(col("w")).as("contrib"))
+      val base = teleport + damping * danglingMass / n
+      var next = verts
+        .join(contribs.hint("shuffle_hash"), Seq("vid"), "left")
+        .select(
+          col("vid"),
+          (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"),
+          col("dangling"))
+      // localCheckpoint (eager, partitioning-preserving) every K iterations
+      // truncates the logical plan — unbounded plan growth chokes the driver
+      // long before data does; plain persist covers the iterations between.
+      val truncate = (iter + 1) % LineageTruncateEvery == 0
+      next = if (truncate) next.localCheckpoint(true)
+             else next.persist(StorageLevel.MEMORY_AND_DISK)
 
-      // One action per fused block: L-inf delta vs the previous materialized
-      // ranks (a K-step delta — conservative: never stops earlier than the
-      // true per-step test would).
-      delta = newRanks.as("n")
+      // THE single action of the iteration: populates the `next` cache as a
+      // side effect and in one co-partitioned (exchange-free) pass computes
+      // the per-step L-inf delta and the next dangling mass.
+      val row = next.as("n")
         .join(ranks.as("p").hint("shuffle_hash"), col("n.vid") === col("p.vid"))
-        .agg(max(abs(col("n.rank") - col("p.rank"))).as("delta"))
-        .head().getDouble(0)
+        .agg(
+          max(abs(col("n.rank") - col("p.rank"))).as("delta"),
+          sum(when(col("n.dangling"), col("n.rank")).otherwise(0.0)).as("m"))
+        .head()
+      delta = row.getDouble(0)
+      danglingMass = row.getDouble(1)
 
       ranks.unpersist(false)
-      intermediates.foreach(_.unpersist(false))
-      ranks = newRanks
-      iter += steps
-      iterTimes += (System.nanoTime() - iterT0) / 1e9 / steps
+      ranks = next
+      iter += 1
+      iterTimes += (System.nanoTime() - iterT0) / 1e9
       if (sys.env.contains("GRAFT_PR_VERBOSE"))
-        println(f"[pr] iter=$iter delta=$delta%.3e secs/iter=${(System.nanoTime() - iterT0) / 1e9 / steps}%.2f")
+        println(f"[pr] iter=$iter delta=$delta%.3e secs/iter=${(System.nanoTime() - iterT0) / 1e9}%.2f")
       checkpoint.foreach(_.maybeWrite(iter, delta, ranks.select("vid", "rank", "dangling")))
     }
 

@@ -79,6 +79,20 @@ object Generators {
     * reference `randomGraphGenerators.c:262-330` without its sequential
     * degree pool). xxhash64(src, j, seed) makes the table reproducible across
     * runs/partitionings — no RNG state, no shuffle in generation. */
+  /** Deterministic Erdős–Rényi G(n, p) (reference `randomGraphGenerators.c:106`
+    * `erdosRenyi`, `executables/generatorHelp.txt`): unordered pair {i,j}
+    * present iff a pair hash clears p. Like the reference, enumerates all
+    * pairs (the reference's loop is O(n^2) too) — embarrassingly parallel,
+    * no shuffle, reproducible under any partitioning; fixture scale. */
+  def erdosRenyiEdges(spark: SparkSession, n: Long, p: Double, seed: Long): DataFrame = {
+    val scale = 1L << 30
+    val thresh = (p * scale).toLong
+    spark.range(0L, n).select(col("id").as("src"))
+      .crossJoin(spark.range(0L, n).select(col("id").as("dst")))
+      .where(col("src") < col("dst"))
+      .where(pmod(xxhash64(col("src"), col("dst"), lit(seed)), lit(scale)) < lit(thresh))
+  }
+
   def powerLawEdges(spark: SparkSession, n: Long, m: Int, seed: Long): DataFrame = {
     val scale = 1L << 30
     spark.range(1L, n)

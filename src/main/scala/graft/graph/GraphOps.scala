@@ -50,6 +50,28 @@ object GraphOps {
       .agg(sort_array(collect_set(col("dst"))).as("neighbors"))
   }
 
+  /** Neighborhood generator (reference `executables/neighborhoodGenerator.c`,
+    * help `neighborhoodGeneratorHelp.txt`): explode each vertex's 1-hop
+    * ego-net into its own graph, keyed by `center`. `disk=false` is the
+    * "neighbors" mode (subgraph induced on the open neighborhood N(c));
+    * `disk=true` additionally keeps the spokes (c, x). Shape: self-join on
+    * the shared center + an edge-existence semi join — the same
+    * wedge-closure join as triangle counting, so hub skew is bounded by the
+    * same degree-orientation argument when the input is pre-oriented. */
+  def egoNets(edges: DataFrame, disk: Boolean = false): DataFrame = {
+    val sym = symmetrize(edges)
+    // (center, a) x (center, b), a < b, keep iff (a, b) is an edge
+    val wedges = sym.select(col("src").as("center"), col("dst").as("a"))
+      .join(sym.select(col("src").as("center"), col("dst").as("b")), "center")
+      .where(col("a") < col("b"))
+    val ego = wedges.join(
+      sym.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"), "left_semi")
+      .select(col("center"), col("a").as("src"), col("b").as("dst"))
+    if (!disk) ego
+    else ego.union(sym.select(col("src").as("center"),
+      least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst")))
+  }
+
   /** Hash-partition an edge table by a key column for iteration reuse
     * (SURVEY.md §4 "what we must write"). */
   def partitionBy(df: DataFrame, key: String, numPartitions: Int): DataFrame =

@@ -1,0 +1,177 @@
+package graft.mining
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Levelwise (apriori) frequent subtree mining — the reference's flagship
+  * `lwg` executable re-expressed as a driver-side level loop over DataFrames
+  * (reference `executables/levelwiseGraphMiningMain.c:72-340`,
+  * `lwm_initAndCollect.c:455-471` frequent vertices/edges,
+  * `lwm_miningAndExtension.c:255-314` BFSStrategy level loop,
+  * `treeEnumeration.c:157` extension, `:226` apriori check).
+  *
+  * Per level k:
+  *  1. candidate generation — every frequent (k−1)-pattern × every frequent
+  *     edge triple, attached at every compatible vertex (the reference's
+  *     outer-shell extension, simplified to all-shell: a superset, pruned by
+  *     the same dedupe + apriori + support steps);
+  *  2. dedupe by free-tree canonical string (reference
+  *     `lwm_miningAndExtension.c:101-113` searchTree dedupe);
+  *  3. apriori prune — every leaf-deleted (k−1)-subtree must be frequent
+  *     (left semi shape: explode subtree keys, join against the previous
+  *     level, keep candidates with zero misses);
+  *  4. support counting — candidate × graph pairs restricted to the SUPPORT
+  *     SUPERSET (the surviving parent's support set, reference
+  *     `lwm_miningAndExtension.c:31-53`), each pair checked with the
+  *     [[SubtreeIso]] embedding kernel, then `groupBy(key).count >= t`
+  *     (reference `:191-221`).
+  *
+  * All per-(pattern, graph) work runs inside executors; the driver only
+  * steers the level loop (same shape as the PageRank iteration driver).
+  * Patterns are trees; the DB must be a forest DB (the reference's
+  * `initFrequentTreeMiningForForestDB` precondition).
+  */
+object FrequentSubtrees {
+
+  /** A transaction graph re-indexed to dense 0-based vertex ids. */
+  final case class TGraph(graphId: Long, vlabels: Seq[String], edges: Seq[(Int, Int, String)])
+
+  /** A candidate/frequent pattern; vertices 0..n-1, key = canonical string. */
+  final case class Pattern(vlabels: Seq[String], edges: Seq[(Int, Int, String)], key: String, parentKey: String)
+
+  final case class SupportPair(key: String, graphId: Long)
+  final case class LevelResult(size: Int, cstring: String, support: Long)
+
+  private def toLTree(vlabels: Seq[String], edges: Seq[(Int, Int, String)]): SubtreeIso.LTree =
+    SubtreeIso.LTree(vlabels.toArray, edges.toArray)
+
+  /** Mine frequent subtrees of sizes 1..maxPatternSize with support >=
+    * threshold. verts: (graph_id, vid, vlabel); edges: (graph_id, src, dst,
+    * elabel). Returns (size, cstring, support) ordered by (size, cstring). */
+  def mine(spark: SparkSession, verts: DataFrame, edges: DataFrame,
+      threshold: Long, maxPatternSize: Int): DataFrame = {
+    import spark.implicits._
+
+    val v = verts.select(col(verts.columns(0)).cast("long").as("graph_id"),
+      col(verts.columns(1)).cast("long").as("vid"), col(verts.columns(2)).cast("string").as("vlabel"))
+    val e = edges.select(col(edges.columns(0)).cast("long").as("graph_id"),
+      col(edges.columns(1)).cast("long").as("src"), col(edges.columns(2)).cast("long").as("dst"),
+      col(edges.columns(3)).cast("string").as("elabel"))
+
+    // ---- transaction graphs, re-indexed once (small per graph) ----
+    val graphs: Dataset[TGraph] = v.groupBy("graph_id")
+      .agg(collect_list(struct(col("vid"), col("vlabel"))).as("vs"))
+      .join(e.groupBy("graph_id")
+        .agg(collect_list(struct(col("src"), col("dst"), col("elabel"))).as("es")), Seq("graph_id"), "left")
+      .as[(Long, Seq[(Long, String)], Option[Seq[(Long, Long, String)]])]
+      .map { case (gid, vs, es) =>
+        val sorted = vs.sortBy(_._1)
+        val idx = sorted.map(_._1).zipWithIndex.toMap
+        TGraph(gid, sorted.map(_._2),
+          es.getOrElse(Nil).map { case (s, d, l) => (idx(s), idx(d), l) })
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- level 1: frequent vertex labels (getFrequentVertices) ----
+    val vertOcc = v.select("graph_id", "vlabel").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val freq1 = vertOcc.groupBy("vlabel").agg(count(lit(1)).as("support"))
+      .where(col("support") >= threshold)
+      .as[(String, Long)].collect().toSeq
+    var results = freq1.map { case (l, s) => LevelResult(1, l, s) }
+    var patterns: Seq[Pattern] = freq1.map { case (l, _) => Pattern(Seq(l), Nil, l, "") }
+    var supportDS: Dataset[SupportPair] = vertOcc
+      .join(freq1.map(_._1).toDF("vlabel"), "vlabel")
+      .select(col("vlabel").as("key"), col("graph_id").as("graphId"))
+      .as[SupportPair].persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- frequent edge triples = the extension alphabet (getFrequentEdges);
+    //      tiny by construction, collected and broadcast like the reference
+    //      keeps them in memory for extension ----
+    val freqEdges: Seq[(String, String, String)] = e
+      .join(v.select(col("graph_id"), col("vid").as("src"), col("vlabel").as("sl")), Seq("graph_id", "src"))
+      .join(v.select(col("graph_id"), col("vid").as("dst"), col("vlabel").as("dl")), Seq("graph_id", "dst"))
+      .select(col("graph_id"), least(col("sl"), col("dl")).as("la"), col("elabel"),
+        greatest(col("sl"), col("dl")).as("lb"))
+      .distinct()
+      .groupBy("la", "elabel", "lb").agg(count(lit(1)).as("support"))
+      .where(col("support") >= threshold)
+      .select("la", "elabel", "lb").as[(String, String, String)].collect().toSeq
+    val bcEdges = spark.sparkContext.broadcast(freqEdges)
+
+    var level = 2
+    while (level <= maxPatternSize && patterns.nonEmpty) {
+      // 1-2. extend every pattern at every compatible vertex; dedupe by key.
+      val candidates = spark.createDataset(patterns)
+        .flatMap { pat =>
+          val exts = bcEdges.value
+          val n = pat.vlabels.size
+          for {
+            u <- 0 until n
+            (la, el, lb) <- exts
+            leafLabel <- (if (pat.vlabels(u) == la && pat.vlabels(u) == lb) Seq(lb)
+                          else if (pat.vlabels(u) == la) Seq(lb)
+                          else if (pat.vlabels(u) == lb) Seq(la)
+                          else Seq.empty[String])
+          } yield {
+            val vl = pat.vlabels :+ leafLabel
+            val es = pat.edges :+ ((u, n, el))
+            Pattern(vl, es, SubtreeIso.canonicalString(toLTree(vl, es)), pat.key)
+          }
+        }
+        .dropDuplicates("key")
+
+      // 3. apriori: every leaf-deleted (k-1)-subtree key must be frequent.
+      val prevKeys = patterns.map(_.key).toDF("subKey")
+      val subKeys = candidates.flatMap { c =>
+        val lt = toLTree(c.vlabels, c.edges)
+        val deg = Array.fill(lt.n)(0)
+        for ((a, b, _) <- c.edges) { deg(a) += 1; deg(b) += 1 }
+        (0 until lt.n).filter(i => deg(i) <= 1).map { leaf =>
+          val keep = (0 until lt.n).filter(_ != leaf)
+          val remap = keep.zipWithIndex.toMap
+          val vl = keep.map(c.vlabels)
+          val es = c.edges.collect { case (a, b, l) if a != leaf && b != leaf => (remap(a), remap(b), l) }
+          (c.key, SubtreeIso.canonicalString(toLTree(vl, es)))
+        }
+      }.toDF("key", "subKey")
+      val pruned = subKeys
+        .join(prevKeys, Seq("subKey"), "left_anti")
+        .select("key").distinct()
+      val survivors = candidates.join(pruned, Seq("key"), "left_anti").as[Pattern]
+
+      // 4. support: candidate x graph pairs from the parent's support set,
+      //    embedding-checked in executors, HAVING count >= t.
+      val pairs = survivors
+        .joinWith(supportDS, survivors("parentKey") === supportDS("key"))
+        .map { case (pat, sp) => (pat.vlabels, pat.edges, pat.key, sp.graphId) }
+        .toDF("vlabels", "edges", "key", "graphId")
+      val matched = pairs
+        .joinWith(graphs, pairs("graphId") === graphs("graphId"))
+        .as[((Seq[String], Seq[(Int, Int, String)], String, Long), TGraph)]
+        .filter { case ((vl, es, _, _), g) =>
+          SubtreeIso.embeds(toLTree(vl, es), toLTree(g.vlabels, g.edges))
+        }
+        .map { case ((_, _, key, gid), _) => SupportPair(key, gid) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val freqK = matched.groupBy("key").agg(count(lit(1)).as("support"))
+        .where(col("support") >= threshold)
+        .as[(String, Long)].collect().toMap
+
+      val keptPatterns = survivors.collect().filter(p => freqK.contains(p.key)).toSeq
+      results ++= keptPatterns.map(p => LevelResult(level, p.key, freqK(p.key)))
+      val oldSupport = supportDS
+      supportDS = matched.filter(sp => freqK.contains(sp.key)).persist(StorageLevel.MEMORY_AND_DISK)
+      supportDS.count()
+      oldSupport.unpersist(false)
+      matched.unpersist(false)
+      patterns = keptPatterns
+      level += 1
+    }
+
+    graphs.unpersist(false)
+    vertOcc.unpersist(false)
+    spark.createDataset(results).toDF("size", "cstring", "support")
+      .orderBy("size", "cstring")
+  }
+}

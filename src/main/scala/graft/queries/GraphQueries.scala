@@ -84,6 +84,14 @@ object GraphQueries {
       LabelPropagation.majority(s, Tables.coSupplierEdges(s, dir), rounds = 1)
         .select(col("vid").cast("long"), col("label").cast("long"))
         .orderBy("vid")
+    }),
+
+    // --- neighborhood generator, "neighbors" mode (reference
+    //     executables/neighborhoodGenerator.c; ego-net per center) ---
+    "g_ego_edges" -> ((s, dir) => {
+      GraphOps.egoNets(Tables.coSupplierEdges(s, dir))
+        .select(col("center").cast("long"), col("src").cast("long"), col("dst").cast("long"))
+        .orderBy("center", "src", "dst")
     })
   )
 
@@ -169,6 +177,13 @@ object GraphQueries {
          | best AS (SELECT vid, label,
          |            row_number() OVER (PARTITION BY vid ORDER BY c DESC, label ASC) AS rn
          |          FROM tally)
-         |SELECT vid::BIGINT AS vid, label::BIGINT AS label FROM best WHERE rn = 1 ORDER BY vid""".stripMargin
+         |SELECT vid::BIGINT AS vid, label::BIGINT AS label FROM best WHERE rn = 1 ORDER BY vid""".stripMargin,
+
+    "g_ego_edges" ->
+      s"""${sym(Tables.coSupplierSql)}
+         |SELECT w1.src::BIGINT AS center, w1.dst::BIGINT AS src, w2.dst::BIGINT AS dst
+         |FROM sym w1 JOIN sym w2 ON w2.src = w1.src AND w1.dst < w2.dst
+         |WHERE EXISTS (SELECT 1 FROM sym s WHERE s.src = w1.dst AND s.dst = w2.dst)
+         |ORDER BY center, src, dst""".stripMargin
   )
 }

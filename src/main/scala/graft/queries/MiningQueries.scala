@@ -25,6 +25,18 @@ object MiningQueries {
         col("prev").cast("long").as("src"), col("o_orderkey").cast("long").as("dst"))
   }
 
+  /** Graph DB: one graph per nation — that nation's co-supplier subgraph
+    * (cyclic, block-rich; shared by f_block_measures / f_outerplanarity). */
+  private def nationCoSupplierDB(s: SparkSession, dir: String): DataFrame = {
+    val lab = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("vid"), col("s_nationkey").cast("long").as("nation"))
+    Tables.coSupplierEdges(s, dir)
+      .join(lab.select(col("vid").as("src"), col("nation").as("gn")), "src")
+      .join(lab.select(col("vid").as("dst"), col("nation").as("gn2")), "dst")
+      .where(col("gn") === col("gn2"))
+      .select(col("gn").as("graph_id"), col("src"), col("dst"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // frequent vertex labels across the graph DB (lwm_initAndCollect.c:246:
     // per-graph distinct -> global count -> threshold)
@@ -98,17 +110,50 @@ object MiningQueries {
         .orderBy("graph_id")
     }),
 
+    // full levelwise frequent subtree mining (lwg, the reference's flagship:
+    // levelwiseGraphMiningMain.c) over a star-forest DB: one graph per
+    // selected order, center = the order (label o_orderstatus), leaves = its
+    // lineitems (label l_returnflag), edge label l_linestatus. Subtree-iso
+    // embedding kernel -> rows-only check (no SQL oracle); the full pipeline
+    // is oracle-checked in ScalaTest against a brute-force subtree enumerator.
+    "f_lwg_mine" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").where(col("o_orderkey") % 8 === 0)
+      val li = t(s, dir, "lineitem").join(
+        orders.select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+      val verts = orders.select(col("o_orderkey").cast("long").as("graph_id"),
+          lit(0L).as("vid"), col("o_orderstatus").cast("string").as("vlabel"))
+        .union(li.select(col("l_orderkey").cast("long"),
+          col("l_linenumber").cast("long"), col("l_returnflag").cast("string")))
+      val edges = li.select(col("l_orderkey").cast("long").as("graph_id"),
+        lit(0L).as("src"), col("l_linenumber").cast("long").as("dst"),
+        col("l_linestatus").cast("string").as("elabel"))
+      val nGraphs = orders.count()
+      graft.mining.FrequentSubtrees.mine(s, verts, edges,
+        threshold = math.max(1L, nGraphs / 10), maxPatternSize = 3)
+        .orderBy("size", "cstring")
+    }),
+
+    // outerplanarity + Hamiltonian cycles per graph (the reference's
+    // outerplanaritytest executable, JSON sink shape). Mitchell kernel ->
+    // rows-only check.
+    "f_outerplanarity" -> ((s, dir) => {
+      import s.implicits._
+      nationCoSupplierDB(s, dir)
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (gid, it) =>
+          val r = graft.trees.GraphKernels.outerplanarity(it.map(t => (t._2, t._3)).toSeq)
+          (gid, r.isOuterplanar,
+            r.hamiltonianCycles.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+        }
+        .toDF("graph_id", "is_outerplanar", "hamiltonian_cycles")
+        .orderBy("graph_id")
+    }),
+
     // gf block measures over a graph DB (one graph per nation: that nation's
     // co-supplier subgraph). Tarjan kernel -> rows-only check (no SQL oracle).
     "f_block_measures" -> ((s, dir) => {
-      val lab = t(s, dir, "supplier")
-        .select(col("s_suppkey").as("vid"), col("s_nationkey").cast("long").as("nation"))
-      val e = Tables.coSupplierEdges(s, dir)
-        .join(lab.select(col("vid").as("src"), col("nation").as("gn")), "src")
-        .join(lab.select(col("vid").as("dst"), col("nation").as("gn2")), "dst")
-        .where(col("gn") === col("gn2"))
-        .select(col("gn").as("graph_id"), col("src"), col("dst"))
-      graft.measures.GraphMeasures.blockMeasures(s, e)
+      graft.measures.GraphMeasures.blockMeasures(s, nationCoSupplierDB(s, dir))
         .orderBy("graph_id")
     })
   )

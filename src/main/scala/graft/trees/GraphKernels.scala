@@ -73,6 +73,113 @@ object GraphKernels {
     blocks.toSeq
   }
 
+  private def canonEdge(a: Long, b: Long): Edge = (math.min(a, b), math.max(a, b))
+
+  /** Outerplanarity of a biconnected block via Mitchell's linear algorithm
+    * (Mitchell 1979; reference `outerplanar.c:103-351` isOuterplanarBlock):
+    * successively remove degree-2 vertices, triangulating their neighbor
+    * pair when not adjacent; reject on edge excess (m > 2n-3), degree-2
+    * starvation, an edge lying on more than two triangles, or a recorded
+    * neighbor pair that never existed as a (possibly triangulation) edge. */
+  def isOuterplanarBlock(blockEdges: Seq[Edge]): Boolean = {
+    val es = blockEdges.distinct.filter(e => e._1 != e._2).map(e => canonEdge(e._1, e._2)).distinct
+    if (es.size <= 1) return true // bridges / empty are outerplanar
+    val adj = mutable.Map[Long, mutable.Set[Long]]()
+    for ((a, b) <- es) {
+      adj.getOrElseUpdate(a, mutable.Set()) += b
+      adj.getOrElseUpdate(b, mutable.Set()) += a
+    }
+    val n = adj.size
+    val m = es.size
+    if (m > 2 * n - 3) return false
+    val artificial = mutable.Set[Edge]()
+    val edgesList = mutable.ArrayBuffer[Edge](es: _*) // original + consumed triangulation edges
+    val pairs = mutable.ArrayBuffer[Edge]()
+    val queue = mutable.ArrayBuffer[Long]() // degree-2 vertices, discovery order
+    val inQueue = mutable.Set[Long]()
+    for (v <- adj.keys.toSeq.sorted if adj(v).size == 2) { queue += v; inQueue += v }
+    if (queue.size < 2) return false
+    var lastPair: Edge = null
+    var i = 1
+    while (i <= n - 2) {
+      if (i - 1 >= queue.size) return false
+      val v = queue(i - 1)
+      if (!adj.contains(v) || adj(v).size != 2) return false
+      val two = adj(v).toSeq.sorted
+      val (a, b) = (two(0), two(1))
+      for (u <- Seq(a, b)) if (artificial(canonEdge(v, u))) edgesList += canonEdge(v, u)
+      val pair = canonEdge(a, b)
+      if (!adj(a).contains(b)) { adj(a) += b; adj(b) += a; artificial += pair }
+      pairs += pair; lastPair = pair
+      adj(a) -= v; adj(b) -= v; adj.remove(v)
+      for (u <- Seq(a, b)) if (adj(u).size == 2 && !inQueue(u)) { queue += u; inQueue += u }
+      if ((adj(a) & adj(b)).size > 1) return false // edge on more than two triangles
+      if (queue.size - i < 2) return false
+      i += 1
+    }
+    edgesList += lastPair
+    // every recorded pair must be matched by a distinct edge (multiset sweep,
+    // reference outerplanar.c:303-337)
+    val counts = mutable.Map[Edge, Int]().withDefaultValue(0)
+    for (e <- edgesList) counts(e) += 1
+    pairs.forall { p => counts(p) -= 1; counts(p) >= 0 }
+  }
+
+  /** A graph is outerplanar iff every biconnected block is
+    * (reference `outerplanar.c:71` isOuterplanarGraph). */
+  def isOuterplanar(edges: Seq[Edge]): Boolean =
+    biconnectedComponents(edges).forall(b => b.size <= 1 || isOuterplanarBlock(b))
+
+  /** Hamiltonian cycle of a small block by backtracking (the unique outer
+    * face when the block is outerplanar — the cycles the reference's
+    * outerplanaritytest executable reports per block). Canonical form:
+    * starts at the minimum vid, lexicographically smaller direction. */
+  def hamiltonianCycleOfBlock(blockEdges: Seq[Edge]): Option[Seq[Long]] = {
+    val es = blockEdges.distinct.filter(e => e._1 != e._2).map(e => canonEdge(e._1, e._2)).distinct
+    val adj = mutable.Map[Long, mutable.Set[Long]]()
+    for ((a, b) <- es) {
+      adj.getOrElseUpdate(a, mutable.Set()) += b
+      adj.getOrElseUpdate(b, mutable.Set()) += a
+    }
+    val verts = adj.keys.toSeq.sorted
+    val k = verts.size
+    if (k < 3) return None
+    val start = verts.head
+    val path = mutable.ArrayBuffer[Long](start)
+    val used = mutable.Set[Long](start)
+    def bt(v: Long): Boolean = {
+      if (path.size == k) return adj(v).contains(start)
+      for (w <- adj(v).toSeq.sorted if !used(w)) {
+        path += w; used += w
+        if (bt(w)) return true
+        path.remove(path.size - 1); used -= w
+      }
+      false
+    }
+    if (!bt(start)) None
+    else {
+      val c = path.toSeq
+      val rev = Seq(c.head) ++ c.tail.reverse
+      val cLex = c.zip(rev).find { case (x, y) => x != y }.forall { case (x, y) => x < y }
+      Some(if (cLex) c else rev)
+    }
+  }
+
+  final case class OuterplanarityResult(isOuterplanar: Boolean, hamiltonianCycles: Seq[Seq[Long]])
+
+  /** Per-graph outerplanarity result in the shape of the reference's
+    * outerplanaritytest executable (JSON sink: one object per graph with
+    * `isOuterplanar` and the Hamiltonian cycles of its outerplanar blocks —
+    * present even when the whole graph is not outerplanar, per
+    * `outerplanaritytestHelp.txt`). */
+  def outerplanarity(edges: Seq[Edge]): OuterplanarityResult = {
+    val blocks = biconnectedComponents(edges).filter(_.size > 1)
+    val opBlocks = blocks.filter(isOuterplanarBlock)
+    OuterplanarityResult(
+      isOuterplanar = opBlocks.size == blocks.size,
+      hamiltonianCycles = opBlocks.flatMap(hamiltonianCycleOfBlock).sortBy(_.headOption.getOrElse(Long.MaxValue)))
+  }
+
   final case class BlockStats(
       nBlocks: Long, nBridges: Long, nBiconnected: Long,
       maxBlockDegree: Long, minBlockDegree: Long, isCactus: Boolean,

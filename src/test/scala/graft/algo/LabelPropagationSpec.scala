@@ -54,6 +54,20 @@ class LabelPropagationSpec extends AnyFunSuite with SparkTestBase {
     assert(sigs == Map(0L -> "a:b", 1L -> "b:a,c", 2L -> "c:b"))
   }
 
+  test("hashed WL fold induces the same partition as sorted-list WL (BA fixture)") {
+    val e = Generators.barabasiAlbert(60, 2, seed = 5L)
+    val df = Generators.edgesDF(spark, e)
+    val vids = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val init = spark.createDataFrame(vids.map(v => (v, "a"))).toDF("vid", "label")
+    for (rounds <- Seq(1, 3)) {
+      val sorted = LabelPropagation.wlRefine(spark, df, init, rounds)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1): Any)).toMap
+      val hashed = LabelPropagation.wlRefineHashed(spark, df, init, rounds)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1): Any)).toMap
+      assert(partitionOf(sorted) == partitionOf(hashed), s"rounds=$rounds")
+    }
+  }
+
   test("majority LP matches scalar oracle on two cliques joined by a bridge") {
     val e = Generators.clique(4) ++
       Generators.clique(4).map { case (a, b) => (a + 10, b + 10) } ++ Seq((3L, 10L))

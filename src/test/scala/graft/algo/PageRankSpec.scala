@@ -58,10 +58,10 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assertAllClose(got, want, 1e-12)
   }
 
-  test("fused iteration blocks (fusedIterations=3) match the scalar oracle") {
+  test("lineage truncation boundary (run crossing LineageTruncateEvery) matches the scalar oracle") {
     val e = Generators.barabasiAlbert(50, 2, seed = 21L)
     val df = Generators.edgesDF(spark, e)
-    val got = PageRank.run(spark, df, fusedIterations = 3).ranks
+    val got = PageRank.run(spark, df).ranks
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assertAllClose(got, ReferenceOracles.pageRankScalar(e), 5e-6)
   }

@@ -1,0 +1,97 @@
+package graft.mining
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.mining.SubtreeIso.LTree
+
+class FrequentSubtreesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // ---- SubtreeIso kernel ----
+
+  private def lt(vl: Seq[String], es: (Int, Int, String)*) = LTree(vl.toArray, es.toArray)
+
+  test("subtree iso: labeled path embeds in longer path, label mismatch rejects") {
+    val p2 = lt(Seq("a", "b"), (0, 1, "x"))
+    val t3 = lt(Seq("a", "b", "a"), (0, 1, "x"), (1, 2, "x"))
+    assert(SubtreeIso.embeds(p2, t3))
+    assert(SubtreeIso.embeds(lt(Seq("b", "a"), (0, 1, "x")), t3)) // orientation-free
+    assert(!SubtreeIso.embeds(lt(Seq("a", "c"), (0, 1, "x")), t3)) // no c label
+    assert(!SubtreeIso.embeds(lt(Seq("a", "b"), (0, 1, "y")), t3)) // edge label
+  }
+
+  test("subtree iso: star needs enough same-label children (injectivity)") {
+    val star3 = lt(Seq("c", "l", "l", "l"), (0, 1, "e"), (0, 2, "e"), (0, 3, "e"))
+    val star2 = lt(Seq("c", "l", "l"), (0, 1, "e"), (0, 2, "e"))
+    assert(SubtreeIso.embeds(star2, star3))
+    assert(!SubtreeIso.embeds(star3, star2)) // bipartite matching must fail
+  }
+
+  test("subtree iso: path of 4 does not embed in star of 4 (shape)") {
+    val p4 = lt(Seq("l", "l", "l", "l"), (0, 1, "e"), (1, 2, "e"), (2, 3, "e"))
+    val s4 = lt(Seq("l", "l", "l", "l"), (0, 1, "e"), (0, 2, "e"), (0, 3, "e"))
+    assert(!SubtreeIso.embeds(p4, s4))
+    assert(SubtreeIso.embeds(lt(Seq("l", "l", "l"), (0, 1, "e"), (1, 2, "e")), s4)) // P3 does
+  }
+
+  test("canonical string: invariant under relabeling of vertex ids") {
+    val a = lt(Seq("x", "y", "z"), (0, 1, "e"), (1, 2, "f"))
+    val b = lt(Seq("z", "y", "x"), (2, 1, "e"), (1, 0, "f"))
+    assert(SubtreeIso.canonicalString(a) == SubtreeIso.canonicalString(b))
+    val c = lt(Seq("x", "y", "z"), (0, 1, "e"), (1, 2, "e"))
+    assert(SubtreeIso.canonicalString(a) != SubtreeIso.canonicalString(c))
+  }
+
+  // ---- miner vs brute-force oracle ----
+
+  /** All connected vertex subsets of size <= maxK of a FOREST are exactly its
+    * subtrees; canonical-string them (per graph, distinct). */
+  private def bruteFrequent(graphs: Seq[(Long, Seq[String], Seq[(Int, Int, String)])],
+      threshold: Int, maxK: Int): Map[(Int, String), Long] = {
+    def subtreesOf(vl: Seq[String], es: Seq[(Int, Int, String)]): Set[(Int, String)] = {
+      val n = vl.size
+      val adj = Array.fill(n)(List.empty[Int])
+      val elab = scala.collection.mutable.Map[(Int, Int), String]()
+      for ((a, b, l) <- es) {
+        adj(a) ::= b; adj(b) ::= a; elab((a, b)) = l; elab((b, a)) = l
+      }
+      val found = scala.collection.mutable.Set[(Int, String)]()
+      def grow(cur: Set[Int]): Unit = {
+        val sub = es.filter(e => cur(e._1) && cur(e._2)).map(e => e.copy())
+        val remap = cur.toSeq.sorted.zipWithIndex.toMap
+        found += ((cur.size, SubtreeIso.canonicalString(LTree(
+          cur.toSeq.sorted.map(vl).toArray,
+          sub.map { case (a, b, l) => (remap(a), remap(b), l) }.toArray))))
+        if (cur.size < maxK) {
+          val frontier = cur.flatMap(adj(_)).filterNot(cur)
+          for (f <- frontier) grow(cur + f)
+        }
+      }
+      for (v <- 0 until n) grow(Set(v))
+      found.toSet
+    }
+    graphs.flatMap { case (_, vl, es) => subtreesOf(vl, es) }
+      .groupBy(identity).map { case (k, occ) => k -> occ.size.toLong }
+      .filter(_._2 >= threshold)
+  }
+
+  test("miner matches brute-force oracle on a labeled forest DB") {
+    // 4 small labeled trees: two similar paths, a star, a 2-level tree
+    val graphs = Seq[(Long, Seq[String], Seq[(Int, Int, String)])](
+      (0L, Seq("a", "b", "a", "c"), Seq((0, 1, "x"), (1, 2, "x"), (2, 3, "y"))),
+      (1L, Seq("a", "b", "a"), Seq((0, 1, "x"), (1, 2, "x"))),
+      (2L, Seq("b", "a", "a", "a"), Seq((0, 1, "x"), (0, 2, "x"), (0, 3, "y"))),
+      (3L, Seq("c", "b", "a", "a"), Seq((0, 1, "y"), (1, 2, "x"), (1, 3, "x"))))
+    val verts = graphs.flatMap { case (g, vl, _) => vl.zipWithIndex.map { case (l, i) => (g, i.toLong, l) } }
+      .toDF("graph_id", "vid", "vlabel")
+    val edges = graphs.flatMap { case (g, _, es) => es.map { case (a, b, l) => (g, a.toLong, b.toLong, l) } }
+      .toDF("graph_id", "src", "dst", "elabel")
+
+    for (t <- Seq(2, 3)) {
+      val got = FrequentSubtrees.mine(spark, verts, edges, t, maxPatternSize = 4)
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = bruteFrequent(graphs, t, 4)
+      assert(got == want, s"threshold=$t\ngot=${got.toSeq.sorted}\nwant=${want.toSeq.sorted}")
+    }
+  }
+}

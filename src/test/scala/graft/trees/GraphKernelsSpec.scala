@@ -50,4 +50,41 @@ class GraphKernelsSpec extends AnyFunSuite with SparkTestBase {
     val s = GraphKernels.blockStats(g)
     assert(s.nBlocks == 2 && s.nBridges == 1 && s.nBiconnected == 1 && s.isCactus)
   }
+
+  // ---- outerplanarity (Mitchell; reference outerplanar.c:103-351) ----
+
+  private def k23 = Seq((0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L), (1L, 3L), (1L, 4L))
+  private def k4 = graft.fixtures.Generators.clique(4)
+  private def fan5 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L), (2L, 3L), (3L, 4L))
+
+  test("outerplanarity: cycles, fans, cacti are OP; K4 and K2,3 are not") {
+    assert(GraphKernels.isOuterplanar(graft.fixtures.Generators.cycle(5)))
+    assert(GraphKernels.isOuterplanar(fan5)) // maximal outerplanar fan
+    assert(GraphKernels.isOuterplanar(Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 2L)))) // bowtie
+    assert(GraphKernels.isOuterplanar(graft.fixtures.Generators.path(6))) // forest: all bridges
+    assert(!GraphKernels.isOuterplanar(k4))
+    assert(!GraphKernels.isOuterplanar(k23))
+    // K4 minus one edge = C4 + chord: still outerplanar
+    assert(GraphKernels.isOuterplanar(k4.filterNot(_ == (0L, 2L))))
+  }
+
+  test("hamiltonian cycle of OP blocks: outer face, canonical orientation") {
+    assert(GraphKernels.hamiltonianCycleOfBlock(graft.fixtures.Generators.cycle(5))
+      .contains(Seq(0L, 1L, 2L, 3L, 4L)))
+    assert(GraphKernels.hamiltonianCycleOfBlock(fan5).contains(Seq(0L, 1L, 2L, 3L, 4L)))
+    assert(GraphKernels.hamiltonianCycleOfBlock(Seq((0L, 1L))).isEmpty)
+  }
+
+  test("outerplanarity result mirrors the outerplanaritytest JSON shape") {
+    // triangle - bridge - triangle: OP, two block cycles
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 3L))
+    val r = GraphKernels.outerplanarity(g)
+    assert(r.isOuterplanar)
+    assert(r.hamiltonianCycles == Seq(Seq(0L, 1L, 2L), Seq(3L, 4L, 5L)))
+    // K4 + pendant triangle: not OP overall, but the OP block still reports its cycle
+    val mixed = k4 ++ Seq((3L, 4L), (4L, 5L), (5L, 3L))
+    val r2 = GraphKernels.outerplanarity(mixed)
+    assert(!r2.isOuterplanar)
+    assert(r2.hamiltonianCycles == Seq(Seq(3L, 4L, 5L)))
+  }
 }
