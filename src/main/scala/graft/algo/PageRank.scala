@@ -48,10 +48,24 @@ object PageRank {
   final case class Result(ranks: DataFrame, iterations: Int, delta: Double, numVertices: Long, numEdges: Long,
       setupSecs: Double = 0.0, iterSecs: Double = 0.0, iterSecsEach: Seq[Double] = Nil) {
     /** Median per-iteration seconds — the robust "sustained" rate (hypervisor
-      * steal / GC spikes excluded), per BASELINE.md's median-of-runs rule. */
+      * steal / GC spikes excluded), per BASELINE.md's median-of-runs rule.
+      * The first two iterations are excluded when enough samples exist: they
+      * pay one-time costs (cache population, JIT tiering, heap growth) that
+      * are not part of the sustained rate. */
     def iterSecsMedian: Double = if (iterSecsEach.isEmpty) iterSecs else {
-      val s = iterSecsEach.sorted
+      val warm = if (iterSecsEach.size >= 6) iterSecsEach.drop(2) else iterSecsEach
+      val s = warm.sorted
       s(s.size / 2)
+    }
+    /** Lower-quartile per-iteration seconds. On a host whose hypervisor
+      * steals CPU in multi-minute waves the noise is strictly one-sided
+      * (steal only ever ADDS time), so low quantiles estimate the engine's
+      * true sustained rate while the median still reflects a typical run —
+      * benchmarks report both. */
+    def iterSecsP25: Double = if (iterSecsEach.isEmpty) iterSecs else {
+      val warm = if (iterSecsEach.size >= 6) iterSecsEach.drop(2) else iterSecsEach
+      val s = warm.sorted
+      s(s.size / 4)
     }
   }
 
@@ -62,7 +76,8 @@ object PageRank {
       tol: Double = 1e-6,
       maxIter: Int = 200,
       numPartitions: Option[Int] = None,
-      checkpoint: Option[IterationCheckpoint] = None): Result = {
+      checkpoint: Option[IterationCheckpoint] = None,
+      onIterationsStart: () => Unit = () => ()): Result = {
 
     val setupT0 = System.nanoTime()
     val p = numPartitions.getOrElse(GraphOps.defaultParallelism(spark))
@@ -127,6 +142,7 @@ object PageRank {
     var delta = Double.MaxValue
     var iter = startIter
     val setupSecs = (System.nanoTime() - setupT0) / 1e9
+    onIterationsStart() // lets harnesses snapshot metrics at the setup/loop boundary
     val loopT0 = System.nanoTime()
     val iterTimes = scala.collection.mutable.ArrayBuffer[Double]()
 

@@ -37,6 +37,33 @@ object MiningQueries {
       .select(col("gn").as("graph_id"), col("src"), col("dst"))
   }
 
+  /** Graph DB with bounded cycle structure: per customer, the date-ordered
+    * chain of their orders CLOSED into a ring (customers with >= 3 orders),
+    * plus a chord from the 1st to the 3rd order when >= 4 orders — so each
+    * graph has 1 or 3 simple cycles plus bridge tails, exercising the cycle
+    * kernels without the exponential blowup a dense DB would cause. */
+  private def customerOrderRings(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("gid").orderBy("o_orderdate", "o_orderkey")
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey").cast("long").as("gid"), col("o_orderkey").cast("long").as("k"),
+        col("o_orderdate"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+    val n = o.groupBy("gid").agg(max("rn").as("n"))
+    val chain = o.withColumn("prev", lag(col("k"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("gid").as("graph_id"), col("prev").as("src"), col("k").as("dst"))
+    def at(rnVal: org.apache.spark.sql.Column, name: String) =
+      o.join(n, "gid").where(col("rn") === rnVal).select(col("gid"), col("k").as(name))
+    val ring = at(lit(1), "first").join(at(col("n"), "last"), "gid")
+      .join(n, "gid").where(col("n") >= 3)
+      .select(col("gid").as("graph_id"), col("first").as("src"), col("last").as("dst"))
+    val chord = at(lit(1), "first").join(at(lit(3), "third"), "gid")
+      .join(n, "gid").where(col("n") >= 4)
+      .select(col("gid").as("graph_id"), col("first").as("src"), col("third").as("dst"))
+    chain.union(ring).union(chord)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // frequent vertex labels across the graph DB (lwm_initAndCollect.c:246:
     // per-graph distinct -> global count -> threshold)
@@ -131,6 +158,56 @@ object MiningQueries {
       graft.mining.FrequentSubtrees.mine(s, verts, edges,
         threshold = math.max(1L, nGraphs / 10), maxPatternSize = 3)
         .orderBy("size", "cstring")
+    }),
+
+    // simple-cycle counts per graph, exact and up-to-isomorphism (gf -f
+    // numberOfSimpleCycles / numberOfNonIsoCycles, reference listCycles.c:10,:57).
+    // Enumeration kernel -> rows-only check.
+    "f_cycle_counts" -> ((s, dir) => {
+      import s.implicits._
+      val labels = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("vid"), col("o_orderstatus").cast("string").as("label"))
+      customerOrderRings(s, dir)
+        .join(labels.withColumnRenamed("vid", "src").withColumnRenamed("label", "sl"), "src")
+        .join(labels.withColumnRenamed("vid", "dst").withColumnRenamed("label", "dl"), "dst")
+        .select(col("graph_id"), col("src"), col("dst"), col("sl"), col("dl"))
+        .as[(Long, Long, Long, String, String)]
+        .groupByKey(_._1)
+        .mapGroups { (gid, it) =>
+          val rows = it.toSeq
+          val es = rows.map(r => (r._2, r._3))
+          val lab = rows.flatMap(r => Seq(r._2 -> r._4, r._3 -> r._5)).toMap
+          val cycles = graft.trees.GraphKernels.simpleCycles(es)
+          (gid,
+            cycles.map(_.size.toLong).getOrElse(-1L),
+            cycles.map(_.map(c => graft.trees.GraphKernels.cycleCanonicalString(c, lab))
+              .distinct.size.toLong).getOrElse(-1L))
+        }
+        .toDF("graph_id", "n_simple_cycles", "n_noniso_cycles")
+        .orderBy("graph_id")
+    }),
+
+    // cyclic pattern kernel features per graph (cpk executable, reference
+    // cpk.c:16-80: canonical strings of simple cycles + bridge-forest trees).
+    // Rows-only check.
+    "f_cpk" -> ((s, dir) => {
+      import s.implicits._
+      val labels = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("vid"), col("o_orderstatus").cast("string").as("label"))
+      customerOrderRings(s, dir)
+        .join(labels.withColumnRenamed("vid", "src").withColumnRenamed("label", "sl"), "src")
+        .join(labels.withColumnRenamed("vid", "dst").withColumnRenamed("label", "dl"), "dst")
+        .select(col("graph_id"), col("src"), col("dst"), col("sl"), col("dl"))
+        .as[(Long, Long, Long, String, String)]
+        .groupByKey(_._1)
+        .flatMapGroups { (gid, it) =>
+          val rows = it.toSeq
+          val es = rows.map(r => (r._2, r._3))
+          val lab = rows.flatMap(r => Seq(r._2 -> r._4, r._3 -> r._5)).toMap
+          graft.trees.GraphKernels.cpkFeatures(es, lab).getOrElse(Nil).map(f => (gid, f))
+        }
+        .toDF("graph_id", "feature")
+        .orderBy("graph_id", "feature")
     }),
 
     // outerplanarity + Hamiltonian cycles per graph (the reference's

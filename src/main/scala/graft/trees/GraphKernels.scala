@@ -165,6 +165,79 @@ object GraphKernels {
     }
   }
 
+  /** All simple cycles, each exactly once (reference `listCycles.c:386`
+    * listCycles enumerates per biconnected component and finds each cycle
+    * twice — once per direction — hence its count/2 at `listCycles.c:52`;
+    * here direction is deduped during enumeration). Canonical form: starts
+    * at its minimum vid, smaller-second-vertex direction. `maxCycles` bounds
+    * the inherently exponential enumeration (the bound-then-enumerate
+    * pattern of reference `listSpanningTrees.c:409`); None = bound hit. */
+  def simpleCycles(edges: Seq[Edge], maxCycles: Int = 100000): Option[Seq[Seq[Long]]] = {
+    val blocks = biconnectedComponents(edges).filter(_.size > 1)
+    val out = mutable.ArrayBuffer[Seq[Long]]()
+    for (block <- blocks) {
+      val adj = mutable.Map[Long, mutable.ArrayBuffer[Long]]()
+      for ((a, b) <- block) {
+        adj.getOrElseUpdate(a, mutable.ArrayBuffer()) += b
+        adj.getOrElseUpdate(b, mutable.ArrayBuffer()) += a
+      }
+      val verts = adj.keys.toSeq.sorted
+      // cycles rooted at their minimum vertex s, using only vertices >= s;
+      // direction deduped by requiring path(1) < path(last)
+      for (s <- verts) {
+        val path = mutable.ArrayBuffer[Long](s)
+        val used = mutable.Set[Long](s)
+        def dfs(v: Long): Unit = {
+          if (out.size > maxCycles) return
+          for (w <- adj(v).sorted) {
+            if (w == s && path.size >= 3 && path(1) < path.last) out += path.toSeq
+            else if (w > s && !used(w)) {
+              path += w; used += w
+              dfs(w)
+              path.remove(path.size - 1); used -= w
+            }
+          }
+        }
+        dfs(s)
+      }
+    }
+    if (out.size > maxCycles) None else Some(out.toSeq)
+  }
+
+  /** Canonical string of a labeled cycle: lexicographic minimum over all
+    * rotations and both directions of the vertex-label sequence (reference
+    * `cs_Cycle.c:152` canonicalStringOfCycle, `:94` permutateCycle). */
+  def cycleCanonicalString(cycle: Seq[Long], labels: Map[Long, String]): String = {
+    val ls = cycle.map(v => labels.getOrElse(v, "_"))
+    val rots = (ls.indices.map(i => ls.drop(i) ++ ls.take(i)) ++
+      ls.reverse.indices.map(i => ls.reverse.drop(i) ++ ls.reverse.take(i)))
+    rots.map(_.mkString("(", " ", ")")).min
+  }
+
+  /** Cyclic pattern kernel features (reference `cpk.c:16-80`
+    * CyclicPatternKernel; Horváth/Gärtner/Wrobel KDD'04): per graph, the set
+    * of canonical strings of its simple cycles plus the canonical strings of
+    * its bridge-forest tree components. Returns None if the cycle bound is
+    * hit (reference relies on molecular graphs being cycle-sparse). */
+  def cpkFeatures(edges: Seq[Edge], labels: Map[Long, String],
+      maxCycles: Int = 100000): Option[Seq[String]] = {
+    simpleCycles(edges, maxCycles).map { cycles =>
+      val cycleFeats = cycles.map(c => "C:" + cycleCanonicalString(c, labels)).distinct
+      val bridges = biconnectedComponents(edges).filter(_.size == 1).flatten
+      val treeFeats =
+        if (bridges.isEmpty) Nil
+        else {
+          // connected components of the bridge forest, one canonical string each
+          val parent = mutable.Map[Long, Long]()
+          def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+          for ((a, b) <- bridges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+          bridges.groupBy(e => find(e._1)).values.map(es =>
+            "T:" + TreeKernels.canonicalString(es, labels)).toSeq.distinct
+        }
+      (treeFeats ++ cycleFeats).sorted
+    }
+  }
+
   final case class OuterplanarityResult(isOuterplanar: Boolean, hamiltonianCycles: Seq[Seq[Long]])
 
   /** Per-graph outerplanarity result in the shape of the reference's

@@ -75,6 +75,41 @@ class GraphKernelsSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphKernels.hamiltonianCycleOfBlock(Seq((0L, 1L))).isEmpty)
   }
 
+  // ---- simple cycles + cyclic pattern kernel (reference listCycles.c, cpk.c) ----
+
+  test("simpleCycles: counts match closed forms (each cycle once)") {
+    assert(GraphKernels.simpleCycles(graft.fixtures.Generators.cycle(5)).get.size == 1)
+    assert(GraphKernels.simpleCycles(graft.fixtures.Generators.path(6)).get.isEmpty)
+    // K4: 4 triangles + 3 quadrilaterals = 7 simple cycles
+    assert(GraphKernels.simpleCycles(k4).get.size == 7)
+    // bowtie: two triangles
+    val bowtie = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 2L))
+    assert(GraphKernels.simpleCycles(bowtie).get.size == 2)
+    // bound-then-enumerate: a tiny bound trips on K4
+    assert(GraphKernels.simpleCycles(k4, maxCycles = 3).isEmpty)
+  }
+
+  test("cycle canonical string: rotation/direction invariant, label sensitive") {
+    val labels = Map(0L -> "a", 1L -> "b", 2L -> "c")
+    val s1 = GraphKernels.cycleCanonicalString(Seq(0L, 1L, 2L), labels)
+    assert(s1 == GraphKernels.cycleCanonicalString(Seq(1L, 2L, 0L), labels))
+    assert(s1 == GraphKernels.cycleCanonicalString(Seq(2L, 1L, 0L), labels))
+    assert(s1 != GraphKernels.cycleCanonicalString(Seq(0L, 1L, 2L), labels + (2L -> "z")))
+  }
+
+  test("cpkFeatures: tree + cycle patterns of the bowtie-with-tail") {
+    // two same-labeled triangles sharing vertex 2, tail 2-5
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 2L), (2L, 5L))
+    val uniform = (0L to 5L).map(_ -> "x").toMap
+    val f = GraphKernels.cpkFeatures(g, uniform).get
+    // identical labels: the two triangles collapse to ONE cycle feature; one bridge tree
+    assert(f.count(_.startsWith("C:")) == 1)
+    assert(f.count(_.startsWith("T:")) == 1)
+    val distinctLabels = Map(0L -> "a", 1L -> "b", 2L -> "c", 3L -> "d", 4L -> "e", 5L -> "f")
+    val f2 = GraphKernels.cpkFeatures(g, distinctLabels).get
+    assert(f2.count(_.startsWith("C:")) == 2)
+  }
+
   test("outerplanarity result mirrors the outerplanaritytest JSON shape") {
     // triangle - bridge - triangle: OP, two block cycles
     val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 3L))
