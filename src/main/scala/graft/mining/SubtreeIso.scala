@@ -97,6 +97,37 @@ object SubtreeIso {
     false
   }
 
+  /** Parse a canonical string back into a labeled tree — the reader side of
+    * the cstring format (reference `cs_Parsing.c:131` parseCString,
+    * `lwm_initAndCollect.c:214` getDBfromCanonicalStrings): grammar
+    * `vlabel('('elabel' 'subtree')')*`, labels free of whitespace and `()$#`.
+    * Inverse of [[canonicalString]] up to re-canonicalization. */
+  def parseCanonicalString(s: String): LTree = {
+    val vlabels = scala.collection.mutable.ArrayBuffer[String]()
+    val edges = scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
+    var i = 0
+    def label(stops: Set[Char]): String = {
+      val start = i
+      while (i < s.length && !stops(s(i))) i += 1
+      s.substring(start, i)
+    }
+    def subtree(): Int = {
+      val v = vlabels.size
+      vlabels += label(Set('(', ')'))
+      while (i < s.length && s(i) == '(') {
+        i += 1 // '('
+        val el = label(Set(' '))
+        i += 1 // ' '
+        val c = subtree()
+        edges += ((v, c, el))
+        i += 1 // ')'
+      }
+      v
+    }
+    if (s.nonEmpty) subtree()
+    LTree(vlabels.toArray, edges.toArray)
+  }
+
   /** Canonical string of a labeled pattern tree INCLUDING edge labels:
     * rooted form `vlabel(elabel childCs)(elabel childCs)...` with children
     * sorted; free form = min over tree centers (reference `cs_Tree.c:24-126`,

@@ -42,6 +42,20 @@ class FrequentSubtreesSpec extends AnyFunSuite with SparkTestBase {
     assert(SubtreeIso.canonicalString(a) != SubtreeIso.canonicalString(c))
   }
 
+  test("cstring reader: parse is the inverse of canonicalString (round trip)") {
+    val trees = Seq(
+      lt(Seq("a")),
+      lt(Seq("a", "b"), (0, 1, "x")),
+      lt(Seq("a", "b", "a", "c"), (0, 1, "x"), (1, 2, "x"), (2, 3, "y")),
+      lt(Seq("c", "l", "l", "l"), (0, 1, "e"), (0, 2, "e"), (0, 3, "f")))
+    for (t <- trees) {
+      val cs = SubtreeIso.canonicalString(t)
+      val parsed = SubtreeIso.parseCanonicalString(cs)
+      assert(parsed.n == t.n && parsed.edges.length == t.edges.length)
+      assert(SubtreeIso.canonicalString(parsed) == cs, s"round trip of $cs")
+    }
+  }
+
   // ---- miner vs brute-force oracle ----
 
   /** All connected vertex subsets of size <= maxK of a FOREST are exactly its
