@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One pinned PageRank measurement in a dedicated JVM (spawned by
+  * [[graft.Bench]] under `taskset -c 0..N-1`).
+  *
+  * Why a separate JVM per parallelism level: a `local[8]` session inside a
+  * 32-core JVM is NOT an 8-core machine — GC threads, netty IO, codegen and
+  * the driver all run on the 24 idle cores, inflating the low level and
+  * biasing the N-vs-4N scaling comparison. `taskset` confines the WHOLE JVM
+  * (JDK 17 sizes GC/compiler pools from the affinity mask), which is the
+  * faithful single-box analogue of an N-core executor fleet.
+  *
+  * args: cores edgesPath maxIter tol shufflePartitions aqe(0|1)
+  * stdout: one `BENCHRUN k=v ...` line (parsed by Bench).
+  */
+object BenchWorker {
+
+  /** Cumulative hypervisor-steal seconds from /proc/stat (col 8). */
+  private def stealSecs(): Double =
+    try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next().trim.split("\\s+")
+      l(8).toDouble / 100.0
+    } catch { case _: Throwable => 0.0 }
+
+  /** Sums executor CPU time across tasks — a hypervisor-steal-immune witness
+    * of per-iteration work (flat across levels when nothing serializes). */
+  private final class CpuListener extends org.apache.spark.scheduler.SparkListener {
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) cpuNanos.addAndGet(m.executorCpuTime)
+      ()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    // "8" -> local[8] (one in-process executor); "4x8" -> local-cluster[4,8,m]
+    // (4 SEPARATE executor JVMs x 8 cores — the faithful single-box analogue
+    // of a 4-executor cluster, including inter-process netty shuffle)
+    val spec = args(0)
+    val (master, cores) = if (spec.contains("x")) {
+      val Array(nex, nc) = spec.split("x").map(_.toInt)
+      // 8g per executor: the 64M-edge working set (CSR cache + a handful of
+      // pinned rank vectors) must fit the SINGLE executor of the low level
+      // without eviction — eviction under an unpersisted-parent lineage was
+      // round 2's within-run degradation (recompute cascades, see BENCH.md)
+      val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
+      (s"local-cluster[$nex,$nc,$memMb]", nex * nc)
+    } else (s"local[$spec]", spec.toInt)
+    val edgesPath = args(1)
+    val maxIter = args(2).toInt
+    val tol = args(3).toDouble
+    val parts = if (args.length > 4) args(4).toInt else 128
+    val aqe = if (args.length > 5) args(5) == "1" else false
+
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(s"graft-bench-worker-$spec")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      // shuffle files on tmpfs: the single-box analogue of node-local SSDs
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+      // local-cluster executors are fresh JVMs: give them the graft classes
+      .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val edges = spark.read.parquet(edgesPath)
+    // Warm JIT/codegen once on a small prefix (excluded from timing).
+    graft.algo.PageRank.run(spark, edges.limit(50000), maxIter = 3)
+
+    val listener = new CpuListener
+    spark.sparkContext.addSparkListener(listener)
+    val pre = stealSecs()
+    val t0 = System.nanoTime()
+    var cpuAtLoopStart = 0L
+    val res = graft.algo.PageRank.run(spark, edges, tol = tol, maxIter = maxIter,
+      numPartitions = Some(parts),
+      onIterationsStart = () => { cpuAtLoopStart = listener.cpuNanos.get() })
+    val wall = (System.nanoTime() - t0) / 1e9
+    val hostCores = Runtime.getRuntime.availableProcessors() // = affinity-mask size under taskset
+    val steal = (stealSecs() - pre) / wall / sys.env.getOrElse("GRAFT_HOST_CORES", "32").toInt
+    val cpuPerIter = (listener.cpuNanos.get() - cpuAtLoopStart) / 1e9 / math.max(1, res.iterations)
+    spark.stop()
+
+    val e = res.numEdges.toDouble
+    println(("BENCHRUN " +
+      s"spec=$spec cores=$cores parts=$parts iters=${res.iterations} edges=${res.numEdges} " +
+      f"setup=${res.setupSecs}%.2f itertotal=${res.iterSecs}%.2f delta=${res.delta}%.3e " +
+      f"eps_min=${e / res.iterSecsMinWarm}%.0f eps_p25=${e / res.iterSecsP25}%.0f eps_med=${e / res.iterSecsMedian}%.0f " +
+      f"steal=$steal%.3f cpu_per_iter=$cpuPerIter%.2f jvmcores=$hostCores " +
+      s"iter_secs=${res.iterSecsEach.map(s => f"$s%.2f").mkString(",")}"))
+  }
+}

@@ -95,6 +95,32 @@ object ConnectedComponents {
   def count(spark: SparkSession, edges: DataFrame): Long =
     run(spark, edges).select(countDistinct("component")).head().getLong(0)
 
+  /** Materialized components — the reference's `listConnectedComponents`
+    * OUTPUT shape (reference `connectedComponents.c:52-77` main: per
+    * component its edge set is printed; isolated vertices form singleton
+    * components): per component the vertex count, edge count, and the
+    * isolated flag. `vertices` supplies the full vertex universe so
+    * edge-free vertices appear as singletons (the labels-only `run` can't
+    * see them). Component id = min member vid. */
+  def materialized(spark: SparkSession, edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val labels = run(spark, edges) // (vid, component) for edge-touching vertices
+    val allV = vertices.select(col(vertices.columns(0)).cast("long").as("vid")).distinct()
+    val withIso = allV
+      .join(labels, Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("component"), col("vid")).as("component"))
+    val vCounts = withIso.groupBy("component").agg(org.apache.spark.sql.functions.count(lit(1)).as("n_vertices"))
+    val e = GraphOps.canonicalEdges(edges)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val eCounts = e
+      .join(labels.select(col("vid").as("a"), col("component")), "a")
+      .groupBy("component").agg(org.apache.spark.sql.functions.count(lit(1)).as("n_edges"))
+    vCounts.join(eCounts, Seq("component"), "left")
+      .select(col("component"), col("n_vertices"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        (col("n_vertices") === 1).as("isolated"))
+  }
+
   /** Normalize arbitrary component labels to the reference's first-visit
     * numbering: components are renumbered 0..k-1 in order of their smallest
     * *position* in the given vertex ordering (for fixture graphs whose vids

@@ -75,10 +75,13 @@ object LabelPropagation {
     * a hub's refinement state is a constant-size (sum, bit_xor, count) fold
     * of its neighbors' label hashes rather than an O(degree) sorted list, so
     * map-side partial aggregation stays effective under power-law skew and no
-    * per-vertex array is ever materialized. Induces the same partition
-    * refinement as [[wlRefine]] up to hash collisions (multiset-equal
-    * neighbor labels give identical (sum, xor, count) triples; tests compare
-    * partitions on fixtures). */
+    * per-vertex array is ever materialized. Equivalence to [[wlRefine]] is
+    * ONE-SIDED: multiset-equal neighbor labels always give identical
+    * (sum, xor, count) triples, but distinct multisets can collide on all
+    * three aggregates simultaneously (beyond ordinary 64-bit label-hash
+    * collisions), merging WL classes that [[wlRefine]] keeps distinct —
+    * callers needing exact refinement must use [[wlRefine]]. Tests compare
+    * partitions on fixtures. */
   def wlRefineHashed(spark: SparkSession, edges: DataFrame, initialLabels: DataFrame, rounds: Int): DataFrame = {
     val p = GraphOps.defaultParallelism(spark)
     val sym = GraphOps.symmetrize(edges).repartition(p, col("dst")).persist(StorageLevel.MEMORY_AND_DISK)

@@ -67,6 +67,14 @@ object PageRank {
       val s = warm.sorted
       s(s.size / 4)
     }
+    /** Fastest warm iteration. Every iteration performs IDENTICAL work (same
+      * input, same plan, fixed partitioning), so with strictly one-sided
+      * noise (hypervisor steal / GC only ever ADD time) the minimum is the
+      * cleanest estimator of the engine's per-iteration floor. */
+    def iterSecsMinWarm: Double = if (iterSecsEach.isEmpty) iterSecs else {
+      val warm = if (iterSecsEach.size >= 6) iterSecsEach.drop(2) else iterSecsEach
+      warm.min
+    }
   }
 
   def run(
@@ -145,6 +153,7 @@ object PageRank {
     onIterationsStart() // lets harnesses snapshot metrics at the setup/loop boundary
     val loopT0 = System.nanoTime()
     val iterTimes = scala.collection.mutable.ArrayBuffer[Double]()
+    val toRelease = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
     while (delta >= tol && iter < maxIter) {
       val iterT0 = System.nanoTime()
@@ -169,6 +178,7 @@ object PageRank {
       val truncate = (iter + 1) % LineageTruncateEvery == 0
       next = if (truncate) next.localCheckpoint(true)
              else next.persist(StorageLevel.MEMORY_AND_DISK)
+      toRelease += ranks
 
       // THE single action of the iteration: populates the `next` cache as a
       // side effect and in one co-partitioned (exchange-free) pass computes
@@ -182,7 +192,22 @@ object PageRank {
       delta = row.getDouble(0)
       danglingMass = row.getDouble(1)
 
-      ranks.unpersist(false)
+      // Unpersist superseded rank vectors only at truncation boundaries: a
+      // localCheckpoint'd parent may be needed to recompute a lost cached
+      // block of `next` (executor failure on a real cluster — see ADVICE
+      // round 1), so previous vectors stay pinned until the NEW truncation
+      // has been materialized by the action above. Worst case this holds
+      // LineageTruncateEvery narrow (vid, rank, dangling) vectors.
+      if (truncate) {
+        toRelease.foreach(_.unpersist(false)); toRelease.clear()
+        // The per-iteration shuffles stay registered until the driver's
+        // ContextCleaner processes the dead RDD weak references, which only
+        // happens on a driver GC — on a large-memory driver that can lag
+        // many iterations, accumulating shuffle files (tmpfs pressure on
+        // this box; disk pressure on a cluster) and growing the map-output
+        // tracker. Nudge the cleaner at each truncation boundary.
+        System.gc()
+      }
       ranks = next
       iter += 1
       iterTimes += (System.nanoTime() - iterT0) / 1e9
@@ -191,6 +216,7 @@ object PageRank {
       checkpoint.foreach(_.maybeWrite(iter, delta, ranks.select("vid", "rank", "dangling")))
     }
 
+    toRelease.foreach(_.unpersist(false))
     adj.unpersist(false)
     verts.unpersist(false)
     Result(ranks.select(col("vid"), col("rank")), iter, delta, n, numEdges,

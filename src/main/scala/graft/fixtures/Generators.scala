@@ -71,14 +71,6 @@ object Generators {
 
   // ---- distributed deterministic power-law generator (bench scale) ----
 
-  /** Web-like power-law edge table, fully parallel and deterministic: node i
-    * (i in [1, n)) emits `m` directed edges; target = floor(i * u^2) with u a
-    * hash-derived uniform in (0,1). u^2 weighting reproduces the BA in-degree
-    * law (in-degree of node t after n steps ~ sqrt(n/t), the standard
-    * continuous-time approximation of preferential attachment, mirroring
-    * reference `randomGraphGenerators.c:262-330` without its sequential
-    * degree pool). xxhash64(src, j, seed) makes the table reproducible across
-    * runs/partitionings — no RNG state, no shuffle in generation. */
   /** Deterministic Erdős–Rényi G(n, p) (reference `randomGraphGenerators.c:106`
     * `erdosRenyi`, `executables/generatorHelp.txt`): unordered pair {i,j}
     * present iff a pair hash clears p. Like the reference, enumerates all
@@ -93,6 +85,14 @@ object Generators {
       .where(pmod(xxhash64(col("src"), col("dst"), lit(seed)), lit(scale)) < lit(thresh))
   }
 
+  /** Web-like power-law edge table, fully parallel and deterministic: node i
+    * (i in [1, n)) emits `m` directed edges; target = floor(i * u^2) with u a
+    * hash-derived uniform in (0,1). u^2 weighting reproduces the BA in-degree
+    * law (in-degree of node t after n steps ~ sqrt(n/t), the standard
+    * continuous-time approximation of preferential attachment, mirroring
+    * reference `randomGraphGenerators.c:262-330` without its sequential
+    * degree pool). xxhash64(src, j, seed) makes the table reproducible across
+    * runs/partitionings — no RNG state, no shuffle in generation. */
   def powerLawEdges(spark: SparkSession, n: Long, m: Int, seed: Long): DataFrame = {
     val scale = 1L << 30
     spark.range(1L, n)

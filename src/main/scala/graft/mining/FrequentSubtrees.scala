@@ -68,8 +68,25 @@ object FrequentSubtrees {
       .map { case (gid, vs, es) =>
         val sorted = vs.sortBy(_._1)
         val idx = sorted.map(_._1).zipWithIndex.toMap
-        TGraph(gid, sorted.map(_._2),
+        val g = TGraph(gid, sorted.map(_._2),
           es.getOrElse(Nil).map { case (s, d, l) => (idx(s), idx(d), l) })
+        // Forest-DB precondition (the reference's
+        // initFrequentTreeMiningForForestDB contract): the subtree-iso kernel
+        // only excludes the entering neighbor, so on a cyclic transaction it
+        // would silently degrade to a non-injective walk and overcount
+        // support. Fail loudly instead (acyclic <=> m = n - #components,
+        // checked cheaply as m + components == n via union-find).
+        val parent = scala.collection.mutable.Map[Int, Int]()
+        def find(x: Int): Int = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+        var merged = 0
+        for ((a, b, _) <- g.edges) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { parent(ra) = rb; merged += 1 }
+        }
+        require(merged == g.edges.size,
+          s"FrequentSubtrees.mine: transaction graph $gid is cyclic; the levelwise " +
+            "tree miner requires a forest DB (reference lwm_initAndCollect.c precondition)")
+        g
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -152,6 +169,175 @@ object FrequentSubtrees {
         .filter { case ((vl, es, _, _), g) =>
           SubtreeIso.embeds(toLTree(vl, es), toLTree(g.vlabels, g.edges))
         }
+        .map { case ((_, _, key, gid), _) => SupportPair(key, gid) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val freqK = matched.groupBy("key").agg(count(lit(1)).as("support"))
+        .where(col("support") >= threshold)
+        .as[(String, Long)].collect().toMap
+
+      val keptPatterns = survivors.collect().filter(p => freqK.contains(p.key)).toSeq
+      results ++= keptPatterns.map(p => LevelResult(level, p.key, freqK(p.key)))
+      val oldSupport = supportDS
+      supportDS = matched.filter(sp => freqK.contains(sp.key)).persist(StorageLevel.MEMORY_AND_DISK)
+      supportDS.count()
+      oldSupport.unpersist(false)
+      matched.unpersist(false)
+      patterns = keptPatterns
+      level += 1
+    }
+
+    graphs.unpersist(false)
+    vertOcc.unpersist(false)
+    spark.createDataset(results).toDF("size", "cstring", "support")
+      .orderBy("size", "cstring")
+  }
+
+  // ------------------------------------------------------------------ lwgr
+
+  /** Canonical string of a ROOTED pattern (root = vertex 0, edges directed
+    * parent -> child): `vlabel(elabel childCs)...` with children sorted — the
+    * rooted grammar of reference `cs_Parsing.c` WITHOUT the free-tree
+    * center minimization (reference `lwmr_initAndCollect.c:35`). */
+  def rootedCanonicalString(vl: Seq[String], es: Seq[(Int, Int, String)]): String = {
+    val children = es.groupBy(_._1)
+    def rec(v: Int): String = {
+      val kids = children.getOrElse(v, Nil).map { case (_, c, el) => s"($el ${rec(c)})" }.sorted
+      vl(v) + kids.mkString
+    }
+    rec(0)
+  }
+
+  /** Rooted subtree embedding into a DIRECTED transaction graph: the pattern
+    * root maps to any vertex; every pattern edge parent->child follows a
+    * directed graph edge with matching vertex/edge labels, siblings mapped
+    * injectively (per-node bipartite matching, the rooted analogue of
+    * [[SubtreeIso.embeds]]; reference `lwmr_embeddingOperators.c`). Global
+    * injectivity coincides with sibling injectivity on forest transactions —
+    * the miner's precondition. */
+  def embedsRooted(pvl: Seq[String], pes: Seq[(Int, Int, String)], g: TGraph): Boolean = {
+    val pchild = pes.groupBy(_._1)
+    val gadj = g.edges.groupBy(_._1)
+    val memo = scala.collection.mutable.Map[(Int, Int), Boolean]()
+    def fits(pv: Int, gv: Int): Boolean = memo.getOrElseUpdate((pv, gv), {
+      g.vlabels(gv) == pvl(pv) && {
+        val kids = pchild.getOrElse(pv, Nil)
+        if (kids.isEmpty) true
+        else {
+          val cands = gadj.getOrElse(gv, IndexedSeq.empty).toIndexedSeq
+          // Kuhn's augmenting-path matching: kid i -> candidate slot j
+          val kidCands = kids.map { case (_, pc, el) =>
+            cands.indices.filter { j => cands(j)._3 == el && fits(pc, cands(j)._2) }
+          }
+          val matchOf = Array.fill(cands.size)(-1)
+          def augment(i: Int, seen: Array[Boolean]): Boolean =
+            kidCands(i).exists { j =>
+              !seen(j) && {
+                seen(j) = true
+                if (matchOf(j) < 0 || augment(matchOf(j), seen)) { matchOf(j) = i; true }
+                else false
+              }
+            }
+          kids.indices.forall(i => augment(i, Array.fill(cands.size)(false)))
+        }
+      }
+    })
+    g.vlabels.indices.exists(gv => fits(0, gv))
+  }
+
+  /** Levelwise frequent ROOTED subtree mining over a rooted/directed forest
+    * DB — the reference's `lwgr` executable (`lwmr_initAndCollect.c`,
+    * `lwmr_miningAndExtension.c`): same apriori level loop as [[mine]], with
+    * rooted canonical strings, directed extension triples (parentLabel,
+    * edgeLabel, childLabel) and the rooted embedding operator. */
+  def mineRooted(spark: SparkSession, verts: DataFrame, edges: DataFrame,
+      threshold: Long, maxPatternSize: Int): DataFrame = {
+    import spark.implicits._
+
+    val v = verts.select(col(verts.columns(0)).cast("long").as("graph_id"),
+      col(verts.columns(1)).cast("long").as("vid"), col(verts.columns(2)).cast("string").as("vlabel"))
+    val e = edges.select(col(edges.columns(0)).cast("long").as("graph_id"),
+      col(edges.columns(1)).cast("long").as("src"), col(edges.columns(2)).cast("long").as("dst"),
+      col(edges.columns(3)).cast("string").as("elabel"))
+
+    val graphs: Dataset[TGraph] = v.groupBy("graph_id")
+      .agg(collect_list(struct(col("vid"), col("vlabel"))).as("vs"))
+      .join(e.groupBy("graph_id")
+        .agg(collect_list(struct(col("src"), col("dst"), col("elabel"))).as("es")), Seq("graph_id"), "left")
+      .as[(Long, Seq[(Long, String)], Option[Seq[(Long, Long, String)]])]
+      .map { case (gid, vs, es) =>
+        val sorted = vs.sortBy(_._1)
+        val idx = sorted.map(_._1).zipWithIndex.toMap
+        TGraph(gid, sorted.map(_._2),
+          es.getOrElse(Nil).map { case (s, d, l) => (idx(s), idx(d), l) })
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val vertOcc = v.select("graph_id", "vlabel").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val freq1 = vertOcc.groupBy("vlabel").agg(count(lit(1)).as("support"))
+      .where(col("support") >= threshold)
+      .as[(String, Long)].collect().toSeq
+    var results = freq1.map { case (l, s) => LevelResult(1, l, s) }
+    var patterns: Seq[Pattern] = freq1.map { case (l, _) => Pattern(Seq(l), Nil, l, "") }
+    var supportDS: Dataset[SupportPair] = vertOcc
+      .join(freq1.map(_._1).toDF("vlabel"), "vlabel")
+      .select(col("vlabel").as("key"), col("graph_id").as("graphId"))
+      .as[SupportPair].persist(StorageLevel.MEMORY_AND_DISK)
+
+    // directed extension alphabet: (parentLabel, edgeLabel, childLabel)
+    val freqEdges: Seq[(String, String, String)] = e
+      .join(v.select(col("graph_id"), col("vid").as("src"), col("vlabel").as("sl")), Seq("graph_id", "src"))
+      .join(v.select(col("graph_id"), col("vid").as("dst"), col("vlabel").as("dl")), Seq("graph_id", "dst"))
+      .select(col("graph_id"), col("sl"), col("elabel"), col("dl"))
+      .distinct()
+      .groupBy("sl", "elabel", "dl").agg(count(lit(1)).as("support"))
+      .where(col("support") >= threshold)
+      .select("sl", "elabel", "dl").as[(String, String, String)].collect().toSeq
+    val bcEdges = spark.sparkContext.broadcast(freqEdges)
+
+    var level = 2
+    while (level <= maxPatternSize && patterns.nonEmpty) {
+      val candidates = spark.createDataset(patterns)
+        .flatMap { pat =>
+          val n = pat.vlabels.size
+          for {
+            u <- 0 until n
+            (pl, el, cl) <- bcEdges.value
+            if pat.vlabels(u) == pl
+          } yield {
+            val vl = pat.vlabels :+ cl
+            val es = pat.edges :+ ((u, n, el))
+            Pattern(vl, es, rootedCanonicalString(vl, es), pat.key)
+          }
+        }
+        .dropDuplicates("key")
+
+      // apriori over non-root leaf deletions
+      val prevKeys = patterns.map(_.key).toDF("subKey")
+      val subKeys = candidates.flatMap { c =>
+        val n = c.vlabels.size
+        val deg = Array.fill(n)(0)
+        for ((a, b, _) <- c.edges) { deg(a) += 1; deg(b) += 1 }
+        (1 until n).filter(i => deg(i) <= 1).map { leaf =>
+          val keep = (0 until n).filter(_ != leaf)
+          val remap = keep.zipWithIndex.toMap
+          val vl = keep.map(c.vlabels)
+          val es = c.edges.collect { case (a, b, l) if a != leaf && b != leaf => (remap(a), remap(b), l) }
+          (c.key, rootedCanonicalString(vl, es))
+        }
+      }.toDF("key", "subKey")
+      val pruned = subKeys
+        .join(prevKeys, Seq("subKey"), "left_anti")
+        .select("key").distinct()
+      val survivors = candidates.join(pruned, Seq("key"), "left_anti").as[Pattern]
+
+      val pairs = survivors
+        .joinWith(supportDS, survivors("parentKey") === supportDS("key"))
+        .map { case (pat, sp) => (pat.vlabels, pat.edges, pat.key, sp.graphId) }
+        .toDF("vlabels", "edges", "key", "graphId")
+      val matched = pairs
+        .joinWith(graphs, pairs("graphId") === graphs("graphId"))
+        .as[((Seq[String], Seq[(Int, Int, String)], String, Long), TGraph)]
+        .filter { case ((vl, es, _, _), g) => embedsRooted(vl, es, g) }
         .map { case ((_, _, key, gid), _) => SupportPair(key, gid) }
         .persist(StorageLevel.MEMORY_AND_DISK)
       val freqK = matched.groupBy("key").agg(count(lit(1)).as("support"))

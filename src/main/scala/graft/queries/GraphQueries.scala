@@ -92,6 +92,17 @@ object GraphQueries {
       GraphOps.egoNets(Tables.coSupplierEdges(s, dir))
         .select(col("center").cast("long"), col("src").cast("long"), col("dst").cast("long"))
         .orderBy("center", "src", "dst")
+    }),
+
+    // --- materialized components incl. isolated vertices (reference
+    //     connectedComponents.c:52-77: per-component edge sets; suppliers
+    //     with no co-supplier edge are singleton components) ---
+    "g_cc_materialized" -> ((s, dir) => {
+      ConnectedComponents.materialized(s, Tables.coSupplierEdges(s, dir),
+        Tables.t(s, dir, "supplier").select(col("s_suppkey")))
+        .select(col("component").cast("long"), col("n_vertices").cast("long"),
+          col("n_edges").cast("long"), col("isolated"))
+        .orderBy("component")
     })
   )
 
@@ -184,6 +195,26 @@ object GraphQueries {
          |SELECT w1.src::BIGINT AS center, w1.dst::BIGINT AS src, w2.dst::BIGINT AS dst
          |FROM sym w1 JOIN sym w2 ON w2.src = w1.src AND w1.dst < w2.dst
          |WHERE EXISTS (SELECT 1 FROM sym s WHERE s.src = w1.dst AND s.dst = w2.dst)
-         |ORDER BY center, src, dst""".stripMargin
+         |ORDER BY center, src, dst""".stripMargin,
+
+    "g_cc_materialized" ->
+      s"""WITH RECURSIVE e0 AS (${Tables.coSupplierSql}),
+         | e AS (SELECT least(src,dst) AS a, greatest(src,dst) AS b FROM e0 GROUP BY 1,2),
+         | sym AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+         | reach(vid, comp) AS (
+         |   SELECT src, src FROM sym UNION SELECT dst, dst FROM sym
+         |   UNION
+         |   SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.vid WHERE r.comp < s.dst
+         | ),
+         | lab AS (SELECT vid, min(comp) AS comp FROM reach GROUP BY vid),
+         | allv AS (SELECT s_suppkey::BIGINT AS vid FROM supplier),
+         | fullv AS (SELECT v.vid, coalesce(l.comp, v.vid) AS component
+         |           FROM allv v LEFT JOIN lab l ON l.vid = v.vid),
+         | vc AS (SELECT component, count(*) AS n_vertices FROM fullv GROUP BY 1),
+         | ec AS (SELECT l.comp AS component, count(*) AS n_edges
+         |        FROM e JOIN lab l ON l.vid = e.a GROUP BY 1)
+         |SELECT vc.component::BIGINT AS component, vc.n_vertices::BIGINT AS n_vertices,
+         |       coalesce(ec.n_edges, 0)::BIGINT AS n_edges, vc.n_vertices = 1 AS isolated
+         |FROM vc LEFT JOIN ec ON vc.component = ec.component ORDER BY component""".stripMargin
   )
 }

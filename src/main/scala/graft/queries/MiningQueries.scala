@@ -3,17 +3,23 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Mining-layer coverage (SURVEY.md §2.4/§2.7 and the lwg/ts/gpe shapes):
-  * frequent labels, canonical triangle fingerprints, per-graph tree kernels
-  * over a transactional graph DB derived from the relational tables. */
+/** Mining-layer coverage (SURVEY.md §2.2/§2.4/§2.7 and the lwg/lwgr/ts/tpk/
+  * ccd/cstring/cpk/outerplanaritytest shapes): per-graph structural kernels
+  * over transactional graph DBs derived from the relational tables.
+  *
+  * Round-2 redesign: every kernel query runs on a [[GraphDBs]] DB whose
+  * structure is a deterministic, SQL-derivable function of the data, so the
+  * DuckDB oracle can recompute the kernel's output from closed-form
+  * invariants (spanning trees of a cactus chain = 3^t, cycle canonical
+  * strings = rotation minima of label lists, ...). The kernels themselves
+  * stay fully general — ScalaTest exercises them on arbitrary graphs.
+  */
 object MiningQueries {
 
   import Tables.t
 
-  /** Transactional graph DB derived from orders: one graph per order-priority
-    * class is too few; instead one graph per customer: vertices = the
-    * customer's orders chained by date (a path/tree per graph). Derivable in
-    * SQL, small graphs, many of them — the reference's DB shape. */
+  /** Transactional graph DB: one graph per customer, vertices = the
+    * customer's orders chained by date (a path per graph). */
   private def orderChainEdges(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -25,44 +31,64 @@ object MiningQueries {
         col("prev").cast("long").as("src"), col("o_orderkey").cast("long").as("dst"))
   }
 
-  /** Graph DB: one graph per nation — that nation's co-supplier subgraph
-    * (cyclic, block-rich; shared by f_block_measures / f_outerplanarity). */
-  private def nationCoSupplierDB(s: SparkSession, dir: String): DataFrame = {
-    val lab = t(s, dir, "supplier")
-      .select(col("s_suppkey").as("vid"), col("s_nationkey").cast("long").as("nation"))
-    Tables.coSupplierEdges(s, dir)
-      .join(lab.select(col("vid").as("src"), col("nation").as("gn")), "src")
-      .join(lab.select(col("vid").as("dst"), col("nation").as("gn2")), "dst")
-      .where(col("gn") === col("gn2"))
-      .select(col("gn").as("graph_id"), col("src"), col("dst"))
+  /** Edge table joined with per-vertex o_orderstatus labels, as the typed
+    * dataset the per-graph kernels consume. */
+  private def labeledEdges(s: SparkSession, dir: String, db: DataFrame) = {
+    import s.implicits._
+    val labels = t(s, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("vid"), col("o_orderstatus").cast("string").as("label"))
+    db.join(labels.withColumnRenamed("vid", "src").withColumnRenamed("label", "sl"), "src")
+      .join(labels.withColumnRenamed("vid", "dst").withColumnRenamed("label", "dl"), "dst")
+      .select(col("graph_id"), col("src"), col("dst"), col("sl"), col("dl"))
+      .as[(Long, Long, Long, String, String)]
   }
 
-  /** Graph DB with bounded cycle structure: per customer, the date-ordered
-    * chain of their orders CLOSED into a ring (customers with >= 3 orders),
-    * plus a chord from the 1st to the 3rd order when >= 4 orders — so each
-    * graph has 1 or 3 simple cycles plus bridge tails, exercising the cycle
-    * kernels without the exponential blowup a dense DB would cause. */
-  private def customerOrderRings(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("gid").orderBy("o_orderdate", "o_orderkey")
-    val o = t(s, dir, "orders")
-      .select(col("o_custkey").cast("long").as("gid"), col("o_orderkey").cast("long").as("k"),
-        col("o_orderdate"), col("o_orderkey"))
-      .withColumn("rn", row_number().over(w))
-    val n = o.groupBy("gid").agg(max("rn").as("n"))
-    val chain = o.withColumn("prev", lag(col("k"), 1).over(w))
-      .where(col("prev").isNotNull)
-      .select(col("gid").as("graph_id"), col("prev").as("src"), col("k").as("dst"))
-    def at(rnVal: org.apache.spark.sql.Column, name: String) =
-      o.join(n, "gid").where(col("rn") === rnVal).select(col("gid"), col("k").as(name))
-    val ring = at(lit(1), "first").join(at(col("n"), "last"), "gid")
-      .join(n, "gid").where(col("n") >= 3)
-      .select(col("gid").as("graph_id"), col("first").as("src"), col("last").as("dst"))
-    val chord = at(lit(1), "first").join(at(lit(3), "third"), "gid")
-      .join(n, "gid").where(col("n") >= 4)
-      .select(col("gid").as("graph_id"), col("first").as("src"), col("third").as("dst"))
-    chain.union(ring).union(chord)
+  private def grouped[T](s: SparkSession, dir: String, db: DataFrame)(
+      f: (Long, Seq[(Long, Long)], Map[Long, String]) => TraversableOnce[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]) = {
+    import s.implicits._
+    labeledEdges(s, dir, db)
+      .groupByKey(_._1)
+      .flatMapGroups { (gid, it) =>
+        val rows = it.toSeq
+        val es = rows.map(r => (r._2, r._3))
+        val lab = rows.flatMap(r => Seq(r._2 -> r._4, r._3 -> r._5)).toMap
+        f(gid, es, lab)
+      }
   }
+
+  // ---------------------------------------------------------------- SQL bits
+
+  /** DuckDB fragment: per-customer order count (gid, n), n >= 2 only (the
+    * single-order graphs have no edges and are absent from every DB). */
+  private val custSql =
+    "SELECT o_custkey::BIGINT AS gid, count(*)::BIGINT AS n FROM orders GROUP BY 1 HAVING count(*) >= 2"
+
+  /** DuckDB fragment: (gid, n, ls = labels by date rank, ks = orderkeys by
+    * date rank). */
+  private val rankedListsSql =
+    s"""ro AS (${GraphDBs.rankedOrdersSql}),
+       |rl AS (SELECT gid, max(n)::BIGINT AS n,
+       |              list(label ORDER BY rn) AS ls,
+       |              list(k ORDER BY rn) AS ks,
+       |              max(CASE WHEN rn=2 THEN label END) AS l2,
+       |              max(CASE WHEN rn=4 THEN label END) AS l4
+       |       FROM ro GROUP BY gid HAVING max(n) >= 2)""".stripMargin
+
+  /** DuckDB fragment: rotation/reflection minimum of the label lists in
+    * `src`(gid, cid, ls) -> `out`(gid, cid, s). The canonical string of a
+    * labeled cycle is the lexicographic minimum over all rotations of the
+    * sequence and of its reversal (graft.trees.GraphKernels
+    * .cycleCanonicalString; reference cs_Cycle.c:94-152). */
+  private def rotMinSql(src: String, out: String): String =
+    s"""${out}_r AS (
+       |  SELECT gid, cid, array_to_string(ls[r:] || ls[:r-1], ' ') AS fwd,
+       |         array_to_string(rev[r:] || rev[:r-1], ' ') AS bwd
+       |  FROM (SELECT gid, cid, ls, list_reverse(ls) AS rev FROM $src)
+       |  JOIN range(1, 200) t(r) ON t.r <= len(ls)),
+       |$out AS (SELECT gid, cid, least(min(fwd), min(bwd)) AS s FROM ${out}_r GROUP BY gid, cid)""".stripMargin
+
+  // ------------------------------------------------------------- the queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // frequent vertex labels across the graph DB (lwm_initAndCollect.c:246:
@@ -118,7 +144,9 @@ object MiningQueries {
         .orderBy("fingerprint")
     }),
 
-    // per-graph canonical strings over the order-chain DB (cstring tool)
+    // per-graph canonical strings over the order-chain DB (cstring tool,
+    // reference cs_Tree.c:342 canonicalStringOfTree). Uniform vertex label
+    // so the oracle can rebuild the expected path strings recursively.
     "f_cstring" -> ((s, dir) => {
       val e = orderChainEdges(s, dir)
       val labels = e.select(col("graph_id"), col("src").as("vno"))
@@ -129,111 +157,219 @@ object MiningQueries {
         .orderBy("cstring")
     }),
 
-    // ts-equivalent: spanning-tree sampling per graph, distinct-class counts
-    // (randomized but seeded; no SQL oracle -> rows-only check)
+    // ts-equivalent: Wilson spanning-tree sampling per graph; every sample is
+    // re-VERIFIED to be a spanning tree of its graph (edge subset, |V|-1
+    // edges, acyclic-connected) — the deterministic part of the randomized
+    // pipeline, giving the sampler a hard oracle. (Distinct-class counting
+    // over samples is inherently seed-dependent; ScalaTest covers it.)
     "f_tree_sampling" -> ((s, dir) => {
-      graft.trees.TreeOps.sampleSpanningTrees(s, orderChainEdges(s, dir), k = 3, seed = 42L)
-        .select(col("graph_id"), col("n_distinct"))
+      import s.implicits._
+      grouped[(Long, Long, Boolean)](s, dir, GraphDBs.orderRingsDB(s, dir)) { (gid, es, _) =>
+        val k = 3
+        val ok = (0 until k).forall { i =>
+          graft.trees.TreeKernels.isSpanningTree(es,
+            graft.trees.TreeKernels.wilsonSpanningTree(es, 42L ^ gid + i))
+        }
+        Iterator.single((gid, k.toLong, ok))
+      }.toDF("graph_id", "n_samples", "all_spanning").orderBy("graph_id")
+    }),
+
+    // exact spanning-tree LISTING count per graph (reference
+    // listSpanningTrees.c:409; tpk main.c -output s) on the cactus-chain DB:
+    // a chain of t triangle blocks has exactly 3^t spanning trees.
+    "f_spanning_trees" -> ((s, dir) => {
+      import s.implicits._
+      grouped[(Long, Long)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
+        Iterator.single((gid,
+          graft.trees.TreeKernels.countSpanningTrees(es, 2000000L).getOrElse(-1L)))
+      }.toDF("graph_id", "n_spanning").orderBy("graph_id")
+    }),
+
+    // tpk 'p' feature map: distinct canonical strings of ALL spanning trees
+    // (reference executables/main.c:186-219) on the pure-ring DB: a ring's
+    // spanning trees are its n edge-deleted paths; distinct classes = label
+    // sequences distinct up to rotation cut + reversal.
+    "f_tpk_patterns" -> ((s, dir) => {
+      import s.implicits._
+      grouped[(Long, Long, Long)](s, dir, GraphDBs.orderCyclesDB(s, dir)) { (gid, es, lab) =>
+        val trees = graft.trees.TreeKernels.listSpanningTrees(es, 100000)
+        val pats = trees.map(_.map(tr => graft.trees.TreeKernels.canonicalString(tr, lab)).distinct)
+        Iterator.single((gid,
+          trees.map(_.size.toLong).getOrElse(-1L),
+          pats.map(_.size.toLong).getOrElse(-1L)))
+      }.toDF("graph_id", "n_spanning", "n_patterns").orderBy("graph_id")
+    }),
+
+    // min/max local easiness (reference localEasiness.c:10-114): per vertex
+    // the product of exact spanning-tree counts over its nontrivial blocks.
+    "f_local_easiness" -> ((s, dir) => {
+      import s.implicits._
+      grouped[(Long, Long, Long)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
+        Iterator.single((gid,
+          graft.trees.GraphKernels.minLocalEasiness(es),
+          graft.trees.GraphKernels.maxLocalEasiness(es)))
+      }.toDF("graph_id", "min_easiness", "max_easiness").orderBy("graph_id")
+    }),
+
+    // traceability family (reference hp_cactus.c): connected-cactus test,
+    // Hamiltonian-path existence on cacti, weak traceability necessary test.
+    "f_traceability" -> ((s, dir) => {
+      import s.implicits._
+      grouped[(Long, Boolean, Boolean, Boolean)](s, dir, GraphDBs.traceabilityDB(s, dir)) { (gid, es, _) =>
+        Iterator.single((gid,
+          graft.trees.GraphKernels.isConnectedCactus(es),
+          graft.trees.GraphKernels.isTraceableCactus(es),
+          graft.trees.GraphKernels.isWeaklyTraceable(es)))
+      }.toDF("graph_id", "is_cactus", "is_traceable_cactus", "is_weakly_traceable")
+        .orderBy("graph_id")
+    }),
+
+    // ccd: per-vertex cycle degree dump = number of biconnected components
+    // (bridges included) containing the vertex (reference
+    // listComponents.c:16-52 computeCriticality; executable ccd).
+    "f_cycle_degrees" -> ((s, dir) => {
+      import s.implicits._
+      grouped[(Long, Long, Long)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
+        graft.trees.GraphKernels.criticality(es).toSeq.sortBy(_._1)
+          .map { case (v, c) => (gid, v, c.toLong) }
+      }.toDF("graph_id", "vid", "cycle_degree").orderBy("graph_id", "vid")
+    }),
+
+    // simple-cycle counts per graph, exact and up-to-isomorphism (gf -f
+    // numberOfSimpleCycles / numberOfNonIsoCycles, reference listCycles.c:10,:57).
+    "f_cycle_counts" -> ((s, dir) => {
+      import s.implicits._
+      grouped[(Long, Long, Long)](s, dir, GraphDBs.orderRingsDB(s, dir)) { (gid, es, lab) =>
+        val cycles = graft.trees.GraphKernels.simpleCycles(es)
+        Iterator.single((gid,
+          cycles.map(_.size.toLong).getOrElse(-1L),
+          cycles.map(_.map(c => graft.trees.GraphKernels.cycleCanonicalString(c, lab))
+            .distinct.size.toLong).getOrElse(-1L)))
+      }.toDF("graph_id", "n_simple_cycles", "n_noniso_cycles").orderBy("graph_id")
+    }),
+
+    // cyclic pattern kernel features per graph (cpk executable, reference
+    // cpk.c:16-80: canonical strings of simple cycles + bridge-forest trees).
+    "f_cpk" -> ((s, dir) => {
+      import s.implicits._
+      grouped[(Long, String)](s, dir, GraphDBs.orderRingsDB(s, dir)) { (gid, es, lab) =>
+        graft.trees.GraphKernels.cpkFeatures(es, lab).getOrElse(Nil).map(f => (gid, f))
+      }.toDF("graph_id", "feature").orderBy("graph_id", "feature")
+    }),
+
+    // outerplanarity + Hamiltonian cycles per graph (the reference's
+    // outerplanaritytest executable, JSON sink shape; Mitchell's algorithm)
+    // on rings with a (1,3) chord — plus a CROSSING (2,4) chord on every
+    // (n%5==0, n>=5) graph, which makes those graphs non-outerplanar.
+    "f_outerplanarity" -> ((s, dir) => {
+      import s.implicits._
+      grouped[(Long, Boolean, String)](s, dir, GraphDBs.ringsWithCrossingsDB(s, dir)) { (gid, es, _) =>
+        val r = graft.trees.GraphKernels.outerplanarity(es)
+        Iterator.single((gid, r.isOuterplanar,
+          r.hamiltonianCycles.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")))
+      }.toDF("graph_id", "is_outerplanar", "hamiltonian_cycles").orderBy("graph_id")
+    }),
+
+    // canonical string of an outerplanar block: Hamiltonian-cycle labels +
+    // chord positions, minimized over the 2L symmetries of the outer face
+    // (operator analogue of reference cs_Outerplanar.c:346-815; same
+    // invariance, simplified grammar — see Scaladoc).
+    "f_op_cstring" -> ((s, dir) => {
+      import s.implicits._
+      grouped[(Long, String)](s, dir, GraphDBs.orderCyclesDB(s, dir)) { (gid, es, lab) =>
+        graft.trees.GraphKernels.outerplanarBlockCanonicalString(es, lab)
+          .map(cs => (gid, cs)).toSeq
+      }.toDF("graph_id", "op_cstring").orderBy("graph_id")
+    }),
+
+    // gf block measures on the cactus-chain DB (reference
+    // listComponents.c:52-204, outerplanar.c:39, upperBoundsForSpanningTrees.c).
+    "f_block_measures" -> ((s, dir) => {
+      graft.measures.GraphMeasures.blockMeasures(s, GraphDBs.cactusChainDB(s, dir))
+        .select(col("graph_id"), col("n_blocks"), col("n_bridges"), col("n_biconnected"),
+          col("max_block_degree"), col("min_block_degree"), col("is_cactus"),
+          round(col("spanning_tree_estimate_log") * 1e6, 0).cast("long").as("st_log_micro"))
         .orderBy("graph_id")
     }),
 
     // full levelwise frequent subtree mining (lwg, the reference's flagship:
     // levelwiseGraphMiningMain.c) over a star-forest DB: one graph per
     // selected order, center = the order (label o_orderstatus), leaves = its
-    // lineitems (label l_returnflag), edge label l_linestatus. Subtree-iso
-    // embedding kernel -> rows-only check (no SQL oracle); the full pipeline
-    // is oracle-checked in ScalaTest against a brute-force subtree enumerator.
+    // lineitems (label l_returnflag), edge label l_linestatus.
     "f_lwg_mine" -> ((s, dir) => {
-      val orders = t(s, dir, "orders").where(col("o_orderkey") % 8 === 0)
-      val li = t(s, dir, "lineitem").join(
-        orders.select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
-      val verts = orders.select(col("o_orderkey").cast("long").as("graph_id"),
-          lit(0L).as("vid"), col("o_orderstatus").cast("string").as("vlabel"))
-        .union(li.select(col("l_orderkey").cast("long"),
-          col("l_linenumber").cast("long"), col("l_returnflag").cast("string")))
-      val edges = li.select(col("l_orderkey").cast("long").as("graph_id"),
-        lit(0L).as("src"), col("l_linenumber").cast("long").as("dst"),
-        col("l_linestatus").cast("string").as("elabel"))
-      val nGraphs = orders.count()
+      val (verts, edges, nGraphs) = starDB(s, dir)
       graft.mining.FrequentSubtrees.mine(s, verts, edges,
         threshold = math.max(1L, nGraphs / 10), maxPatternSize = 3)
         .orderBy("size", "cstring")
     }),
 
-    // simple-cycle counts per graph, exact and up-to-isomorphism (gf -f
-    // numberOfSimpleCycles / numberOfNonIsoCycles, reference listCycles.c:10,:57).
-    // Enumeration kernel -> rows-only check.
-    "f_cycle_counts" -> ((s, dir) => {
-      import s.implicits._
-      val labels = t(s, dir, "orders")
-        .select(col("o_orderkey").cast("long").as("vid"), col("o_orderstatus").cast("string").as("label"))
-      customerOrderRings(s, dir)
-        .join(labels.withColumnRenamed("vid", "src").withColumnRenamed("label", "sl"), "src")
-        .join(labels.withColumnRenamed("vid", "dst").withColumnRenamed("label", "dl"), "dst")
-        .select(col("graph_id"), col("src"), col("dst"), col("sl"), col("dl"))
-        .as[(Long, Long, Long, String, String)]
-        .groupByKey(_._1)
-        .mapGroups { (gid, it) =>
-          val rows = it.toSeq
-          val es = rows.map(r => (r._2, r._3))
-          val lab = rows.flatMap(r => Seq(r._2 -> r._4, r._3 -> r._5)).toMap
-          val cycles = graft.trees.GraphKernels.simpleCycles(es)
-          (gid,
-            cycles.map(_.size.toLong).getOrElse(-1L),
-            cycles.map(_.map(c => graft.trees.GraphKernels.cycleCanonicalString(c, lab))
-              .distinct.size.toLong).getOrElse(-1L))
-        }
-        .toDF("graph_id", "n_simple_cycles", "n_noniso_cycles")
-        .orderBy("graph_id")
+    // rooted/directed levelwise miner (lwgr; reference
+    // lwmr_initAndCollect.c:35, lwmr_miningAndExtension.c) on the same star
+    // DB with edges directed center -> leaf.
+    "f_lwgr_mine" -> ((s, dir) => {
+      val (verts, edges, nGraphs) = starDB(s, dir)
+      graft.mining.FrequentSubtrees.mineRooted(s, verts, edges,
+        threshold = math.max(1L, nGraphs / 10), maxPatternSize = 3)
+        .orderBy("size", "cstring")
     }),
 
-    // cyclic pattern kernel features per graph (cpk executable, reference
-    // cpk.c:16-80: canonical strings of simple cycles + bridge-forest trees).
-    // Rows-only check.
-    "f_cpk" -> ((s, dir) => {
+    // min-hash sketch over the pattern poset (reference minhashing.c:124-444:
+    // K permutations of a pattern poset; sketch = first pattern per
+    // permutation that embeds, evaluated with poset-propagation pruning).
+    "f_minhash_poset" -> ((s, dir) => {
       import s.implicits._
-      val labels = t(s, dir, "orders")
-        .select(col("o_orderkey").cast("long").as("vid"), col("o_orderstatus").cast("string").as("label"))
-      customerOrderRings(s, dir)
-        .join(labels.withColumnRenamed("vid", "src").withColumnRenamed("label", "sl"), "src")
-        .join(labels.withColumnRenamed("vid", "dst").withColumnRenamed("label", "dl"), "dst")
-        .select(col("graph_id"), col("src"), col("dst"), col("sl"), col("dl"))
-        .as[(Long, Long, Long, String, String)]
-        .groupByKey(_._1)
-        .flatMapGroups { (gid, it) =>
-          val rows = it.toSeq
-          val es = rows.map(r => (r._2, r._3))
-          val lab = rows.flatMap(r => Seq(r._2 -> r._4, r._3 -> r._5)).toMap
-          graft.trees.GraphKernels.cpkFeatures(es, lab).getOrElse(Nil).map(f => (gid, f))
+      val (verts, edges, _) = starDB(s, dir)
+      val v = verts.select(col("graph_id"), col("vid"), col("vlabel"))
+        .as[(Long, Long, String)]
+      val e = edges.select(col("graph_id"), col("src"), col("dst"), col("elabel"))
+        .as[(Long, Long, Long, String)]
+      val perms = graft.mining.PatternMinHash.permutations(4, 2024L)
+      val vg = v.groupByKey(_._1).mapGroups { (gid, it) => gid -> it.map(t => (t._2, t._3)).toSeq }
+      val eg = e.groupByKey(_._1).mapGroups { (gid, it) => gid -> it.map(t => (t._2, t._3, t._4)).toSeq }
+      vg.joinWith(eg, vg("_1") === eg("_1"), "left")
+        .flatMap { case ((gid, vs), eg2) =>
+          val es = Option(eg2).map(_._2).getOrElse(Seq.empty)
+          val lab = vs.toMap
+          val sk = graft.mining.PatternMinHash.sketch(
+            vs.map(_._2), es.map { case (a, b, l) => (lab(a), lab(b), l) }, perms)
+          sk.zipWithIndex.map { case (pid, i) => (gid, i.toLong, pid.toLong) }
         }
-        .toDF("graph_id", "feature")
-        .orderBy("graph_id", "feature")
-    }),
-
-    // outerplanarity + Hamiltonian cycles per graph (the reference's
-    // outerplanaritytest executable, JSON sink shape). Mitchell kernel ->
-    // rows-only check.
-    "f_outerplanarity" -> ((s, dir) => {
-      import s.implicits._
-      nationCoSupplierDB(s, dir)
-        .as[(Long, Long, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (gid, it) =>
-          val r = graft.trees.GraphKernels.outerplanarity(it.map(t => (t._2, t._3)).toSeq)
-          (gid, r.isOuterplanar,
-            r.hamiltonianCycles.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
-        }
-        .toDF("graph_id", "is_outerplanar", "hamiltonian_cycles")
-        .orderBy("graph_id")
-    }),
-
-    // gf block measures over a graph DB (one graph per nation: that nation's
-    // co-supplier subgraph). Tarjan kernel -> rows-only check (no SQL oracle).
-    "f_block_measures" -> ((s, dir) => {
-      graft.measures.GraphMeasures.blockMeasures(s, nationCoSupplierDB(s, dir))
-        .orderBy("graph_id")
+        .toDF("graph_id", "perm", "pattern_id").orderBy("graph_id", "perm")
     })
   )
+
+  /** Star-forest DB shared by the miners: one graph per order with
+    * o_orderkey % 8 == 0; center vid 0 (label o_orderstatus), leaf vids =
+    * l_linenumber (label l_returnflag), edge label l_linestatus. */
+  private def starDB(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    val orders = t(s, dir, "orders").where(col("o_orderkey") % 8 === 0)
+    // The driver's synthetic lineitem has DUPLICATE (l_orderkey,
+    // l_linenumber) pairs, so leaf vids come from a per-order row_number —
+    // mining output depends only on the leaf LABEL multiset, so any distinct
+    // deterministic numbering yields identical patterns/supports.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_returnflag", "l_linestatus")
+    val li = t(s, dir, "lineitem").join(
+        orders.select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+      .withColumn("leaf", row_number().over(w).cast("long"))
+    val verts = orders.select(col("o_orderkey").cast("long").as("graph_id"),
+        lit(0L).as("vid"), col("o_orderstatus").cast("string").as("vlabel"))
+      .union(li.select(col("l_orderkey").cast("long"),
+        col("leaf"), col("l_returnflag").cast("string")))
+    val edges = li.select(col("l_orderkey").cast("long").as("graph_id"),
+      lit(0L).as("src"), col("leaf").as("dst"),
+      col("l_linestatus").cast("string").as("elabel"))
+    (verts, edges, orders.count())
+  }
+
+  /** DuckDB fragments shared by the miner oracles (star DB). */
+  private val starSql =
+    """o8 AS (SELECT o_orderkey::BIGINT AS gid, o_orderstatus AS c FROM orders WHERE o_orderkey % 8 = 0),
+      |li8 AS (SELECT l.l_orderkey::BIGINT AS gid,
+      |               row_number() OVER (PARTITION BY l.l_orderkey ORDER BY l.l_linenumber) AS ln,
+      |               o.c, l.l_linestatus AS e, l.l_returnflag AS f
+      |        FROM lineitem l JOIN o8 o ON l.l_orderkey = o.gid),
+      |thr AS (SELECT greatest(1, count(*) // 10) AS t FROM o8)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "f_frequent_labels" ->
@@ -257,8 +393,6 @@ object MiningQueries {
         .mkString("least(", ", ", ")")
       s"""WITH e0 AS (${Tables.coSupplierSql}),
          | e AS (SELECT least(src,dst) AS src, greatest(src,dst) AS dst FROM e0 GROUP BY 1,2),
-         | deg AS (SELECT vid, count(*) AS d FROM (
-         |     SELECT src AS vid FROM e UNION ALL SELECT dst FROM e) GROUP BY vid),
          | tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
          |         FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
          | lab AS (SELECT s_suppkey AS vid, s_nationkey::VARCHAR AS l FROM supplier),
@@ -266,8 +400,194 @@ object MiningQueries {
          |             FROM tri JOIN lab x ON x.vid = tri.a JOIN lab y ON y.vid = tri.b JOIN lab z ON z.vid = tri.c)
          |SELECT $rots AS fingerprint, count(*)::BIGINT AS n
          |FROM labeled GROUP BY 1 ORDER BY fingerprint""".stripMargin
-    }
-    // f_cstring, f_tree_sampling: per-graph recursive kernels — not ANSI-SQL
-    // expressible; the driver records rows-only checks for them.
+    },
+
+    // Path canonical strings: R(1)='o', R(k)='o('||R(k-1)||')'; odd n =
+    // center with two equal chains, even n = bicentral with chains h-1,h
+    // sorted lexicographically (R(1) < R(k) for k>=2, else R monotonically
+    // DEcreasing: '(' < ')').
+    "f_cstring" ->
+      s"""WITH RECURSIVE r(kk, s) AS (
+         |  SELECT 1, 'o'
+         |  UNION ALL SELECT kk+1, 'o(' || s || ')' FROM r WHERE kk < 100),
+         |cust AS ($custSql),
+         |cs AS (SELECT gid,
+         |  CASE
+         |    WHEN n % 2 = 1 THEN (SELECT 'o(' || s || ')(' || s || ')' FROM r WHERE kk = (n-1)//2)
+         |    WHEN n = 2 THEN 'o(o)'
+         |    WHEN n = 4 THEN 'o(o)(o(o))'
+         |    ELSE (SELECT 'o(' || a.s || ')(' || b.s || ')'
+         |          FROM r a, r b WHERE a.kk = n//2 AND b.kk = n//2 - 1)
+         |  END AS cstring
+         |  FROM cust)
+         |SELECT cstring, count(*)::BIGINT AS n_graphs FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f_tree_sampling" ->
+      s"""WITH cust AS ($custSql)
+         |SELECT gid AS graph_id, 3::BIGINT AS n_samples, TRUE AS all_spanning
+         |FROM cust ORDER BY graph_id""".stripMargin,
+
+    "f_spanning_trees" ->
+      s"""WITH cust AS ($custSql)
+         |SELECT gid AS graph_id, CAST(round(power(3, n // 3), 0) AS BIGINT) AS n_spanning
+         |FROM cust ORDER BY graph_id""".stripMargin,
+
+    "f_tpk_patterns" ->
+      s"""WITH $rankedListsSql,
+         |cyc AS (SELECT gid, 0 AS cid, ls FROM rl WHERE n >= 3),
+         |rots AS (
+         |  SELECT gid, array_to_string(ls[r:] || ls[:r-1], ' ') AS fwd,
+         |         array_to_string(list_reverse(ls[r:] || ls[:r-1]), ' ') AS bwd
+         |  FROM cyc JOIN range(1, 200) t(r) ON t.r <= len(ls)),
+         |np AS (SELECT gid, count(DISTINCT least(fwd, bwd))::BIGINT AS n_patterns FROM rots GROUP BY gid)
+         |SELECT rl.gid AS graph_id,
+         |       (CASE WHEN rl.n = 2 THEN 1 ELSE rl.n END)::BIGINT AS n_spanning,
+         |       (CASE WHEN rl.n = 2 THEN 1 ELSE np.n_patterns END)::BIGINT AS n_patterns
+         |FROM rl LEFT JOIN np ON rl.gid = np.gid ORDER BY graph_id""".stripMargin,
+
+    "f_local_easiness" ->
+      s"""WITH cust AS ($custSql)
+         |SELECT gid AS graph_id,
+         |  (CASE WHEN n // 3 > 0 AND n % 3 = 0 THEN 3 ELSE 1 END)::BIGINT AS min_easiness,
+         |  (CASE WHEN n // 3 > 0 THEN 3 ELSE 1 END)::BIGINT AS max_easiness
+         |FROM cust ORDER BY graph_id""".stripMargin,
+
+    "f_traceability" ->
+      s"""WITH cust AS ($custSql)
+         |SELECT gid AS graph_id,
+         |  (NOT (n % 4 = 3 AND n >= 4)) AS is_cactus,
+         |  (n % 4 IN (1, 2) OR (n % 4 = 0 AND n < 7) OR n = 3) AS is_traceable_cactus,
+         |  (NOT (n % 4 = 0 AND n >= 7)) AS is_weakly_traceable
+         |FROM cust ORDER BY graph_id""".stripMargin,
+
+    // cycle degree of rank-i vertex in the cactus chain: incident bridge
+    // edges + triangle membership; edge j=(j,j+1) lies in a triangle iff
+    // j % 3 != 0 and its rank triple is complete.
+    "f_cycle_degrees" ->
+      s"""WITH ro AS (${GraphDBs.rankedOrdersSql})
+         |SELECT gid AS graph_id, k AS vid,
+         |  ((CASE WHEN rn > 1 AND NOT ((rn-1) % 3 <> 0 AND 3*(((rn-2)//3)+1) <= n) THEN 1 ELSE 0 END)
+         | + (CASE WHEN rn < n AND NOT (rn % 3 <> 0 AND 3*(((rn-1)//3)+1) <= n) THEN 1 ELSE 0 END)
+         | + (CASE WHEN 3*(((rn-1)//3)+1) <= n THEN 1 ELSE 0 END))::BIGINT AS cycle_degree
+         |FROM ro WHERE n >= 2 ORDER BY graph_id, vid""".stripMargin,
+
+    "f_cycle_counts" ->
+      s"""WITH $rankedListsSql
+         |SELECT gid AS graph_id,
+         |  (CASE WHEN n = 2 THEN 0 WHEN n = 3 THEN 1 ELSE 3 END)::BIGINT AS n_simple_cycles,
+         |  (CASE WHEN n = 2 THEN 0 WHEN n = 3 THEN 1
+         |        WHEN n = 4 THEN (CASE WHEN l2 = l4 THEN 2 ELSE 3 END)
+         |        ELSE 3 END)::BIGINT AS n_noniso_cycles
+         |FROM rl ORDER BY graph_id""".stripMargin,
+
+    // cpk features: n=2 -> bridge tree 'T:'; n=3 -> one cycle; n>=4 -> the
+    // triangle (1,2,3), the chord cycle (1,3..n) and the full ring.
+    "f_cpk" ->
+      s"""WITH $rankedListsSql,
+         |cyc AS (
+         |  SELECT gid, 1 AS cid, [ls[1], ls[2], ls[3]] AS ls FROM rl WHERE n >= 3
+         |  UNION ALL
+         |  SELECT gid, 2, [ls[1]] || ls[3:] FROM rl WHERE n >= 4
+         |  UNION ALL
+         |  SELECT gid, 3, ls FROM rl WHERE n >= 4),
+         |${rotMinSql("cyc", "cmin")},
+         |feats AS (
+         |  SELECT DISTINCT gid, 'C:(' || s || ')' AS feature FROM cmin
+         |  UNION
+         |  SELECT gid, 'T:' || least(ls[1] || '(' || ls[2] || ')', ls[2] || '(' || ls[1] || ')')
+         |  FROM rl WHERE n = 2)
+         |SELECT gid AS graph_id, feature FROM feats ORDER BY graph_id, feature""".stripMargin,
+
+    // Hamiltonian cycle of a ring(+non-crossing chord) graph = the ring,
+    // canonicalized as the lex-min rotation/reflection of the vertex-id
+    // sequence; crossing chords (n%5=0, n>=5) destroy outerplanarity.
+    "f_outerplanarity" ->
+      s"""WITH $rankedListsSql,
+         |rr AS (SELECT gid, n, ks, list_reverse(ks) AS rev FROM rl WHERE n >= 3),
+         |rots AS (
+         |  SELECT gid, ks[r:] || ks[:r-1] AS lst FROM rr JOIN range(1, 200) t(r) ON t.r <= len(ks)
+         |  UNION ALL
+         |  SELECT gid, rev[r:] || rev[:r-1] FROM rr JOIN range(1, 200) t(r) ON t.r <= len(rev)),
+         |ham AS (SELECT gid,
+         |          arg_min(array_to_string(lst, ','),
+         |                  array_to_string(list_transform(lst, x -> lpad(x::VARCHAR, 14, '0')), ',')) AS h
+         |        FROM rots GROUP BY gid)
+         |SELECT rl.gid AS graph_id,
+         |  NOT (rl.n >= 5 AND rl.n % 5 = 0) AS is_outerplanar,
+         |  CASE WHEN rl.n = 2 OR (rl.n >= 5 AND rl.n % 5 = 0) THEN '[]'
+         |       ELSE '[[' || ham.h || ']]' END AS hamiltonian_cycles
+         |FROM rl LEFT JOIN ham ON rl.gid = ham.gid ORDER BY graph_id""".stripMargin,
+
+    // pure rings: outerplanar block canonical string = rotation/reflection
+    // minimum of the outer-face labels, no chords.
+    "f_op_cstring" ->
+      s"""WITH $rankedListsSql,
+         |cyc AS (SELECT gid, 0 AS cid, ls FROM rl WHERE n >= 3),
+         |${rotMinSql("cyc", "cmin")}
+         |SELECT gid AS graph_id, 'OP[' || s || '|]' AS op_cstring
+         |FROM cmin ORDER BY graph_id""".stripMargin,
+
+    "f_block_measures" ->
+      s"""WITH cust AS ($custSql),
+         |g AS (SELECT gid, n, n // 3 AS t FROM cust)
+         |SELECT gid AS graph_id,
+         |  (n - 1 - t)::BIGINT AS n_blocks,
+         |  (n - 1 - 2*t)::BIGINT AS n_bridges,
+         |  t::BIGINT AS n_biconnected,
+         |  (CASE WHEN t > 0 THEN 1 ELSE 0 END)::BIGINT AS max_block_degree,
+         |  (CASE WHEN t > 0 AND n % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS min_block_degree,
+         |  TRUE AS is_cactus,
+         |  CAST(round(t * ln(3) * 1e6, 0) AS BIGINT) AS st_log_micro
+         |FROM g ORDER BY graph_id""".stripMargin,
+
+    // Levelwise free-tree miner on the star DB: every frequent pattern of
+    // size <= 3 with its exact support (apriori mining is lossless, so the
+    // result equals the direct "all subtrees with support >= t" enumeration).
+    "f_lwg_mine" ->
+      s"""WITH $starSql,
+         |s1 AS (
+         |  SELECT 1 AS size, lab AS cstring, count(DISTINCT gid)::BIGINT AS support FROM (
+         |    SELECT gid, c AS lab FROM o8 UNION ALL SELECT gid, f FROM li8) GROUP BY 2),
+         |s2 AS (
+         |  SELECT 2 AS size,
+         |    least(c || '(' || e || ' ' || f || ')', f || '(' || e || ' ' || c || ')') AS cstring,
+         |    count(DISTINCT gid)::BIGINT AS support
+         |  FROM li8 GROUP BY 2),
+         |s3 AS (
+         |  SELECT 3 AS size,
+         |    a.c || least('(' || a.e || ' ' || a.f || ')', '(' || b.e || ' ' || b.f || ')')
+         |        || greatest('(' || a.e || ' ' || a.f || ')', '(' || b.e || ' ' || b.f || ')') AS cstring,
+         |    count(DISTINCT a.gid)::BIGINT AS support
+         |  FROM li8 a JOIN li8 b ON a.gid = b.gid AND a.ln < b.ln
+         |  GROUP BY 2)
+         |SELECT size, cstring, support FROM (
+         |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+         |WHERE support >= (SELECT t FROM thr)
+         |ORDER BY size, cstring""".stripMargin,
+
+    // Rooted/directed variant: same DB, edges center->leaf, no orientation
+    // folding in the canonical strings.
+    "f_lwgr_mine" ->
+      s"""WITH $starSql,
+         |s1 AS (
+         |  SELECT 1 AS size, lab AS cstring, count(DISTINCT gid)::BIGINT AS support FROM (
+         |    SELECT gid, c AS lab FROM o8 UNION ALL SELECT gid, f FROM li8) GROUP BY 2),
+         |s2 AS (
+         |  SELECT 2 AS size, c || '(' || e || ' ' || f || ')' AS cstring,
+         |    count(DISTINCT gid)::BIGINT AS support
+         |  FROM li8 GROUP BY 2),
+         |s3 AS (
+         |  SELECT 3 AS size,
+         |    a.c || least('(' || a.e || ' ' || a.f || ')', '(' || b.e || ' ' || b.f || ')')
+         |        || greatest('(' || a.e || ' ' || a.f || ')', '(' || b.e || ' ' || b.f || ')') AS cstring,
+         |    count(DISTINCT a.gid)::BIGINT AS support
+         |  FROM li8 a JOIN li8 b ON a.gid = b.gid AND a.ln < b.ln
+         |  GROUP BY 2)
+         |SELECT size, cstring, support FROM (
+         |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+         |WHERE support >= (SELECT t FROM thr)
+         |ORDER BY size, cstring""".stripMargin,
+
+    "f_minhash_poset" -> graft.mining.PatternMinHash.oracleSql(4, 2024L, starSql)
   )
 }

@@ -92,8 +92,7 @@ object GraphKernels {
     val n = adj.size
     val m = es.size
     if (m > 2 * n - 3) return false
-    val artificial = mutable.Set[Edge]()
-    val edgesList = mutable.ArrayBuffer[Edge](es: _*) // original + consumed triangulation edges
+    val edgesList = mutable.ArrayBuffer[Edge](es: _*) // original + triangulation edges
     val pairs = mutable.ArrayBuffer[Edge]()
     val queue = mutable.ArrayBuffer[Long]() // degree-2 vertices, discovery order
     val inQueue = mutable.Set[Long]()
@@ -107,9 +106,18 @@ object GraphKernels {
       if (!adj.contains(v) || adj(v).size != 2) return false
       val two = adj(v).toSeq.sorted
       val (a, b) = (two(0), two(1))
-      for (u <- Seq(a, b)) if (artificial(canonEdge(v, u))) edgesList += canonEdge(v, u)
       val pair = canonEdge(a, b)
-      if (!adj(a).contains(b)) { adj(a) += b; adj(b) += a; artificial += pair }
+      // Divergence from reference outerplanar.c:169-186: a triangulation edge
+      // joins the witness multiset when CREATED, not when later consumed by a
+      // removal incident to it — the reference's consumed-only bookkeeping
+      // makes the verdict depend on the degree-2 removal ORDER (e.g. a C4
+      // whose two eliminations pick opposite corners records the pair twice
+      // but witnesses it once, rejecting an outerplanar block; the reference
+      // inherits that with its reversed-discovery list on scrambled cycle
+      // numberings). Creation-time witnessing is order-invariant; the K2,3 /
+      // K4 families are still rejected by the pair-count sweep, the edge
+      // bound, degree-2 starvation, and the two-triangle check below.
+      if (!adj(a).contains(b)) { adj(a) += b; adj(b) += a; edgesList += pair }
       pairs += pair; lastPair = pair
       adj(a) -= v; adj(b) -= v; adj.remove(v)
       for (u <- Seq(a, b)) if (adj(u).size == 2 && !inQueue(u)) { queue += u; inQueue += u }
@@ -290,5 +298,138 @@ object GraphKernels {
       if (blockDegrees.isEmpty) 0L else blockDegrees.max,
       if (blockDegrees.isEmpty) 0L else blockDegrees.min,
       cactus, estLog)
+  }
+
+  /** Per-vertex criticality = number of biconnected components (bridges
+    * INCLUDED) containing the vertex (reference `listComponents.c:16-52`
+    * computeCriticality — the `ccd` cycle-degree dump counts every block the
+    * vertex's edges appear in). */
+  def criticality(edges: Seq[Edge]): Map[Long, Int] = {
+    val blocks = biconnectedComponents(edges)
+    val crit = mutable.Map[Long, Int]().withDefaultValue(0)
+    for (b <- blocks; v <- b.flatMap(e => Seq(e._1, e._2)).distinct) crit(v) += 1
+    crit.toMap
+  }
+
+  /** Is this graph a connected cactus (every nontrivial block a simple
+    * cycle, reference `outerplanar.c:39` isCactus + connectivity)? */
+  def isConnectedCactus(edges: Seq[Edge]): Boolean = {
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    if (verts.size <= 1) return true
+    // connectivity via union-find
+    val parent = mutable.Map[Long, Long]()
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    for ((a, b) <- edges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    if (verts.map(find).distinct.size != 1) return false
+    biconnectedComponents(edges).filter(_.size > 1).forall { b =>
+      b.size == b.flatMap(e => Seq(e._1, e._2)).distinct.size
+    }
+  }
+
+  /** Hamiltonian-path existence on a connected cactus (reference
+    * `hp_cactus.c:23-116` isThisCactusTraceable): traceable iff no vertex
+    * lies in more than 2 blocks, no nontrivial block contains more than 2
+    * critical vertices (criticality > 1), and when a block has exactly 2
+    * critical vertices they are adjacent within the block. */
+  def isTraceableCactus(edges: Seq[Edge]): Boolean = {
+    if (!isConnectedCactus(edges)) return false
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    if (verts.size <= 1) return true
+    val crit = criticality(edges)
+    if (crit.valuesIterator.exists(_ > 2)) return false
+    biconnectedComponents(edges).filter(_.size > 1).forall { b =>
+      val critical = b.flatMap(e => Seq(e._1, e._2)).distinct.filter(v => crit.getOrElse(v, 0) > 1)
+      critical.size < 2 ||
+        (critical.size == 2 && b.exists { case (a, c) =>
+          crit.getOrElse(a, 0) > 1 && crit.getOrElse(c, 0) > 1
+        })
+    }
+  }
+
+  /** Necessary (not sufficient) traceability test for arbitrary connected
+    * graphs (reference `hp_cactus.c:125-180` isWeaklyTraceable): 0 = surely
+    * not traceable, 1 = possibly traceable. Same block conditions as the
+    * cactus test minus the adjacency requirement. */
+  def isWeaklyTraceable(edges: Seq[Edge]): Boolean = {
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    if (verts.size <= 1) return true
+    val parent = mutable.Map[Long, Long]()
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    for ((a, b) <- edges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    if (verts.map(find).distinct.size != 1) return false
+    val crit = criticality(edges)
+    if (crit.valuesIterator.exists(_ > 2)) return false
+    biconnectedComponents(edges).filter(_.size > 1).forall { b =>
+      b.flatMap(e => Seq(e._1, e._2)).distinct.count(v => crit.getOrElse(v, 0) > 1) <= 2
+    }
+  }
+
+  /** Per-vertex local easiness: the product over all nontrivial blocks
+    * containing v of that block's exact spanning-tree count (reference
+    * `localEasiness.c:10-58` computeLocalEasinessExactly; vertices in no
+    * nontrivial block have easiness 1). None-valued entries (bound hit in a
+    * block count) are encoded as 0, exactly like the reference. */
+  def localEasiness(edges: Seq[Edge], maxBound: Long = 100000L): Map[Long, Long] = {
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val eas = mutable.Map[Long, Long](verts.map(_ -> 1L): _*)
+    for (b <- biconnectedComponents(edges) if b.size > 1) {
+      val c = TreeKernels.countSpanningTrees(b, maxBound)
+      for (v <- b.flatMap(e => Seq(e._1, e._2)).distinct)
+        eas(v) = c match {
+          case Some(k) => if (eas(v) == 0L) 0L else eas(v) * k
+          case None => 0L
+        }
+    }
+    eas.toMap
+  }
+
+  /** Max over vertices of local easiness; -1 if any vertex's count failed
+    * (reference `localEasiness.c:66-88` getMaxLocalEasiness). */
+  def maxLocalEasiness(edges: Seq[Edge], maxBound: Long = 100000L): Long = {
+    val eas = localEasiness(edges, maxBound)
+    if (eas.isEmpty) 1L
+    else if (eas.valuesIterator.contains(0L)) -1L
+    else eas.valuesIterator.max
+  }
+
+  /** Min over vertices of local easiness, skipping failed vertices; -1 when
+    * every vertex failed (reference `localEasiness.c:94-114`). */
+  def minLocalEasiness(edges: Seq[Edge], maxBound: Long = 100000L): Long = {
+    val ok = localEasiness(edges, maxBound).valuesIterator.filter(_ != 0L)
+    if (ok.isEmpty) -1L else ok.min
+  }
+
+  /** Canonical string of a 2-connected OUTERPLANAR block (operator analogue
+    * of reference `cs_Outerplanar.c:346,815` canonicalStringOfOuterplanarBlock):
+    * the block's unique outer face is its Hamiltonian cycle; the string is
+    * the lexicographic minimum over the 2L rotations/reflections of the
+    * outer-face label sequence, each annotated with the chord set as sorted
+    * position pairs. Same isomorphism invariance as the reference's
+    * (Colbourn/Booth-style) form; simplified grammar
+    * `OP[l1 l2 ... lL|i-j,i-j,...]`. None when the input is not a single
+    * outerplanar 2-connected block. */
+  def outerplanarBlockCanonicalString(edges: Seq[Edge], labels: Map[Long, String]): Option[String] = {
+    val es = edges.distinct.filter(e => e._1 != e._2).map(e => canonEdge(e._1, e._2)).distinct
+    val blocks = biconnectedComponents(es).filter(_.size > 1)
+    if (blocks.size != 1 || blocks.head.size != es.size) return None // not one 2-connected block
+    if (!isOuterplanarBlock(es)) return None
+    hamiltonianCycleOfBlock(es).map { cyc =>
+      val L = cyc.size
+      val cycEdges = (0 until L).map(i => canonEdge(cyc(i), cyc((i + 1) % L))).toSet
+      val chords = es.filterNot(cycEdges)
+      val variants = for (start <- 0 until L; refl <- Seq(false, true)) yield {
+        val order =
+          if (!refl) (0 until L).map(i => cyc((start + i) % L))
+          else (0 until L).map(i => cyc(((start - i) % L + L) % L))
+        val pos = order.zipWithIndex.toMap
+        val labs = order.map(v => labels.getOrElse(v, "_")).mkString(" ")
+        val cs = chords.map { case (a, b) =>
+          val (i, j) = (pos(a), pos(b))
+          if (i < j) (i, j) else (j, i)
+        }.sorted
+        labs + "|" + cs.map { case (i, j) => s"$i-$j" }.mkString(",")
+      }
+      "OP[" + variants.min + "]"
+    }
   }
 }

@@ -121,4 +121,86 @@ object TreeKernels {
     }
     (strings.distinct.size.toLong, strings.distinct.sorted)
   }
+
+  /** Is `tree` a spanning tree of the graph given by `edges`? (|V|-1 edges,
+    * all of them graph edges, connected/acyclic via union-find). */
+  def isSpanningTree(edges: Seq[Edge], tree: Seq[Edge]): Boolean = {
+    val canon = (e: Edge) => (math.min(e._1, e._2), math.max(e._1, e._2))
+    val gset = edges.filter(e => e._1 != e._2).map(canon).toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val t = tree.map(canon).distinct
+    if (t.size != verts.size - 1 || !t.forall(gset)) return false
+    val parent = mutable.Map[Long, Long]()
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    var merged = 0
+    for ((a, b) <- t) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; merged += 1 }
+    }
+    merged == verts.size - 1
+  }
+
+  /** Exact spanning-tree LISTING by the contract/delete recursion
+    * T(G) = T(G/e) + T(G-e) — each spanning tree produced exactly once
+    * (reference `listSpanningTrees.c:409` listSpanningTrees). `maxTrees`
+    * bounds the inherently exponential output; None = bound hit (the
+    * reference's bound-then-enumerate pattern). Edges are reported in
+    * canonical (min,max) orientation. */
+  def listSpanningTrees(edges: Seq[Edge], maxTrees: Int = 100000): Option[Seq[Seq[Edge]]] = {
+    val es = edges.filter(e => e._1 != e._2)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct.sorted
+    val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+    if (verts.isEmpty) return Some(Seq(Seq.empty))
+    val n = verts.size
+    val out = mutable.ArrayBuffer[Seq[Edge]]()
+    var overflow = false
+
+    // recursion over a contracted multigraph: vertices are union-find roots;
+    // remaining = edges not yet decided, chosen = original edges in the tree
+    def rec(remaining: List[Edge], chosen: List[Edge], parent: Map[Long, Long], nMerged: Int): Unit = {
+      if (overflow) return
+      if (nMerged == n - 1) {
+        if (out.size >= maxTrees) { overflow = true; return }
+        out += chosen.reverse
+        return
+      }
+      remaining match {
+        case Nil => ()
+        case e :: rest =>
+          def find(p: Map[Long, Long], x: Long): Long = {
+            var r = x; while (p.getOrElse(r, r) != r) r = p(r); r
+          }
+          val ra = find(parent, e._1)
+          val rb = find(parent, e._2)
+          if (ra == rb) rec(rest, chosen, parent, nMerged) // self-loop after contraction: skip
+          else {
+            // include e (contract)
+            rec(rest, e :: chosen, parent.updated(ra, rb), nMerged + 1)
+            // exclude e (delete) — only if the rest can still connect ra,rb
+            // (cheap pruning: skip the connectivity check, dead branches just
+            // terminate without output; correctness is unaffected)
+            rec(rest, chosen, parent, nMerged)
+          }
+      }
+    }
+    rec(es.toList, Nil, Map.empty, 0)
+    if (overflow) None else Some(out.toSeq)
+  }
+
+  /** Exact spanning-tree COUNT with bound (reference
+    * `listSpanningTrees.c` countSpanningTrees: -1 when > maxBound; here
+    * None). Same recursion as [[listSpanningTrees]] without materializing. */
+  def countSpanningTrees(edges: Seq[Edge], maxBound: Long = 100000L): Option[Long] =
+    listSpanningTrees(edges, math.min(maxBound, Int.MaxValue.toLong).toInt).map(_.size.toLong)
+
+  /** tpk 'p' output: the distinct canonical strings of ALL spanning trees of
+    * the graph (reference `executables/main.c:186-219`: listSpanningTrees ->
+    * canonicalStringOfTree -> searchTree dedupe -> `# id count` + strings).
+    * None when the enumeration bound is hit (the reference only processes
+    * graphs whose spanning-tree estimate is below `-filter`). */
+  def spanningTreePatterns(edges: Seq[Edge], labels: Map[Long, String],
+      maxTrees: Int = 100000): Option[Seq[String]] =
+    listSpanningTrees(edges, maxTrees).map { trees =>
+      trees.map(t => canonicalString(t, labels)).distinct.sorted
+    }
 }
