@@ -114,17 +114,23 @@ object Bench {
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
         val qT0 = nowSecs
+        implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
         queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           if (nowSecs - qT0 > qBudget) name -> -1.0
           else {
             val s = nowSecs
-            try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+            // per-query watchdog: a hung query must not eat the global
+            // deadline — cancel its jobs and move on
+            val f = scala.concurrent.Future { try { fn(spark, sfDir).count() } catch { case _: Throwable => } }
+            try scala.concurrent.Await.result(f,
+              scala.concurrent.duration.Duration(math.max(30L, (qBudget - (nowSecs - qT0)).toLong), "s"))
+            catch { case _: Throwable => spark.sparkContext.cancelAllJobs() }
             name -> (nowSecs - s)
           }
         }
         // ---- phase 2: bench edge table (same session) ----
-        val benchEdgesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EDGES", "/tmp/graft_bench_edges_8m")
-        val nVerts = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "8000000").toLong
+        val benchEdgesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EDGES", "/tmp/graft_bench_edges_12m")
+        val nVerts = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "12000000").toLong
         val mOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_M", "8").toInt
         if (!Files.exists(Paths.get(benchEdgesPath, "_SUCCESS"))) {
           graft.fixtures.Generators.powerLawEdges(spark, nVerts, mOut, seed = 42L)
@@ -133,7 +139,7 @@ object Bench {
         spark.stop()
         runScaling(benchEdgesPath, scaling, notes, remaining _)
       } else {
-        val benchEdgesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EDGES", "/tmp/graft_bench_edges_8m")
+        val benchEdgesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EDGES", "/tmp/graft_bench_edges_12m")
         runScaling(benchEdgesPath, scaling, notes, remaining _)
       }
     } catch {

@@ -28,11 +28,23 @@ object BenchWorker {
     * of per-iteration work (flat across levels when nothing serializes). */
   private final class CpuListener extends org.apache.spark.scheduler.SparkListener {
     val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val tasks = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufFetchNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gcMillis = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null) cpuNanos.addAndGet(m.executorCpuTime)
+      if (m != null) {
+        cpuNanos.addAndGet(m.executorCpuTime)
+        gcMillis.addAndGet(m.jvmGCTime)
+        if (m.shuffleReadMetrics != null) shufFetchNanos.addAndGet(m.shuffleReadMetrics.fetchWaitTime * 1000000L)
+      }
+      tasks.incrementAndGet()
       ()
     }
+    override def onStageSubmitted(s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+      if (sys.env.contains("GRAFT_BENCH_STAGELOG"))
+        println(s"[stage] id=${s.stageInfo.stageId} tasks=${s.stageInfo.numTasks} " +
+          s"name=${s.stageInfo.name} details=${s.stageInfo.details.linesIterator.take(3).mkString(" | ")}")
   }
 
   def main(args: Array[String]): Unit = {
@@ -55,9 +67,22 @@ object BenchWorker {
     val parts = if (args.length > 4) args(4).toInt else 128
     val aqe = if (args.length > 5) args(5) == "1" else false
 
+    // local-cluster's third parameter is WORKER memory (scheduling budget);
+    // the executor JVM heap is spark.executor.memory and defaults to 1g —
+    // leaving it unset silently starves the caches (measured: adj + rank
+    // vectors evicted every iteration, recompute storms). Set both.
+    val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
     val spark = SparkSession.builder()
       .master(master)
       .appName(s"graft-bench-worker-$spec")
+      .config("spark.executor.memory", s"${execMemMb}m")
+      // protect cached rank vectors + CSR from execution-memory eviction:
+      // the iteration working set is the cache; spills can go to (fast) disk
+      .config("spark.memory.storageFraction", sys.env.getOrElse("GRAFT_STORAGE_FRACTION", "0.5"))
+      // benchmark scheduling: never hold a task wave hostage to block
+      // locality (default 3s/level can stall every wave at multi-executor
+      // levels whose cached partitions live on specific executors)
+      .config("spark.locality.wait", "0")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
@@ -70,17 +95,33 @@ object BenchWorker {
     spark.sparkContext.setLogLevel("WARN")
 
     val edges = spark.read.parquet(edgesPath)
-    // Warm JIT/codegen once on a small prefix (excluded from timing).
-    graft.algo.PageRank.run(spark, edges.limit(50000), maxIter = 3)
+    // Warm JIT/codegen once on a small prefix (excluded from timing),
+    // repartitioned so warmup tasks land on EVERY executor — a narrow
+    // single-task warmup leaves all but one executor JVM cold, and their C2
+    // compilation then pollutes the first measured iterations (observed as
+    // 2x CPU + GC spikes at multi-executor levels).
+    graft.algo.PageRank.run(spark, edges.limit(400000).repartition(parts), maxIter = 4)
 
     val listener = new CpuListener
     spark.sparkContext.addSparkListener(listener)
     val pre = stealSecs()
     val t0 = System.nanoTime()
     var cpuAtLoopStart = 0L
+    var lastCpu = 0L; var lastTasks = 0L; var lastGc = 0L; var lastFetch = 0L
     val res = graft.algo.PageRank.run(spark, edges, tol = tol, maxIter = maxIter,
       numPartitions = Some(parts),
-      onIterationsStart = () => { cpuAtLoopStart = listener.cpuNanos.get() })
+      onIterationsStart = () => {
+        cpuAtLoopStart = listener.cpuNanos.get()
+        lastCpu = cpuAtLoopStart; lastTasks = listener.tasks.get()
+        lastGc = listener.gcMillis.get(); lastFetch = listener.shufFetchNanos.get()
+      },
+      onIterationEnd = it => if (sys.env.contains("GRAFT_PR_VERBOSE")) {
+        val (c, t) = (listener.cpuNanos.get(), listener.tasks.get())
+        val (g, f) = (listener.gcMillis.get(), listener.shufFetchNanos.get())
+        println(f"[prx] iter=$it cpu=${(c - lastCpu) / 1e9}%.1f tasks=${t - lastTasks} " +
+          f"gc=${(g - lastGc) / 1e3}%.1f fetchwait=${(f - lastFetch) / 1e9}%.1f")
+        lastCpu = c; lastTasks = t; lastGc = g; lastFetch = f
+      })
     val wall = (System.nanoTime() - t0) / 1e9
     val hostCores = Runtime.getRuntime.availableProcessors() // = affinity-mask size under taskset
     val steal = (stealSecs() - pre) / wall / sys.env.getOrElse("GRAFT_HOST_CORES", "32").toInt

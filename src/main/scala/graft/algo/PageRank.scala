@@ -26,24 +26,32 @@ import graft.run.IterationCheckpoint
   *  - the scatter `groupBy(dst).sum` is the single per-iteration shuffle;
   *    `sum` is algebraic so map-side partial aggregation absorbs hub skew
   *    (no salting needed for commutative message combination).
-  *  - ONE action per iteration: the convergence aggregate over
-  *    `new ⋈ prev` (both co-partitioned, exchange-free) computes the L-inf
-  *    delta AND the dangling rank mass of the new vector in the same pass;
-  *    that mass is exactly the scalar the NEXT iteration redistributes, so no
-  *    separate dangling-mass job (and no in-plan broadcast subquery whose
-  *    exchange would have to be re-executed) ever runs. Materialization of
-  *    the new ranks is a persist populated as a side effect of that action.
-  *    Measured motivation: the previous fused-block formulation allocated
-  *    ~3x more per iteration (intermediate columnar caches + per-step hash
-  *    relations over the adjacency arrays), and on a steal-heavy host every
-  *    extra GB of garbage turns into multi-second stop-the-world pauses.
+  *  - per iteration: ONE eager localCheckpoint materializing the new vector
+  *    (truncating lineage — see LineageTruncateEvery for why every
+  *    iteration), then ONE convergence aggregate over `new ⋈ prev` (both
+  *    co-partitioned, exchange-free) computing the L-inf delta AND the
+  *    dangling rank mass of the new vector in the same pass; that mass is
+  *    exactly the scalar the NEXT iteration redistributes, so no separate
+  *    dangling-mass job (and no in-plan broadcast subquery whose exchange
+  *    would have to be re-executed) ever runs.
+  *  - superseded vectors release their checkpoint blocks deterministically
+  *    (releaseVector), one generation behind, so executor storage holds at
+  *    most three |V|-row vectors regardless of iteration count.
   */
 object PageRank {
 
-  /** Cut the logical plan every k iterations (between cuts, persisted
-    * intermediates keep the plan shallow enough while saving the extra
-    * eager-checkpoint job per iteration). */
-  private val LineageTruncateEvery = 5
+  /** Cut the logical plan EVERY iteration (round-2 change). Measured on the
+    * bench harness (BENCH.md): an eager localCheckpoint iteration costs the
+    * same executor-CPU and wall time as a pure-persist iteration (the delta
+    * action then reads the fresh checkpoint blocks instead of re-scanning
+    * the cache), while pure-persist iterations REGRESS with distance from
+    * the last cut — from the second iteration after a cut, each iteration
+    * re-executes one more upstream 128-task stage (task-count instrumented:
+    * 257 -> 385 -> 513...; the InMemoryRelation chained on a LogicalRDD stops
+    * being substituted), up to 10x iteration cost. Checkpoint-per-iteration
+    * makes every iteration flat and lets the superseded checkpoint's blocks
+    * be released deterministically. */
+  private val LineageTruncateEvery = 1
 
   final case class Result(ranks: DataFrame, iterations: Int, delta: Double, numVertices: Long, numEdges: Long,
       setupSecs: Double = 0.0, iterSecs: Double = 0.0, iterSecsEach: Seq[Double] = Nil) {
@@ -85,7 +93,8 @@ object PageRank {
       maxIter: Int = 200,
       numPartitions: Option[Int] = None,
       checkpoint: Option[IterationCheckpoint] = None,
-      onIterationsStart: () => Unit = () => ()): Result = {
+      onIterationsStart: () => Unit = () => (),
+      onIterationEnd: Int => Unit = _ => ()): Result = {
 
     val setupT0 = System.nanoTime()
     val p = numPartitions.getOrElse(GraphOps.defaultParallelism(spark))
@@ -166,23 +175,23 @@ object PageRank {
         .groupBy(col("vid"))
         .agg(sum(col("w")).as("contrib"))
       val base = teleport + damping * danglingMass / n
-      var next = verts
+      // localCheckpoint (eager, partitioning-preserving) EVERY iteration —
+      // see LineageTruncateEvery's Scaladoc for the measured rationale; the
+      // checkpoint job below materializes the new vector, and the delta
+      // action then reads the fresh blocks.
+      val next = verts
         .join(contribs.hint("shuffle_hash"), Seq("vid"), "left")
         .select(
           col("vid"),
           (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"),
           col("dangling"))
-      // localCheckpoint (eager, partitioning-preserving) every K iterations
-      // truncates the logical plan — unbounded plan growth chokes the driver
-      // long before data does; plain persist covers the iterations between.
-      val truncate = (iter + 1) % LineageTruncateEvery == 0
-      next = if (truncate) next.localCheckpoint(true)
-             else next.persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       toRelease += ranks
 
-      // THE single action of the iteration: populates the `next` cache as a
-      // side effect and in one co-partitioned (exchange-free) pass computes
-      // the per-step L-inf delta and the next dangling mass.
+      // The convergence action: one co-partitioned (exchange-free) pass over
+      // the freshly checkpointed vector and its predecessor computes the
+      // per-step L-inf delta AND the next dangling mass (no separate
+      // dangling-mass job ever runs).
       val row = next.as("n")
         .join(ranks.as("p").hint("shuffle_hash"), col("n.vid") === col("p.vid"))
         .agg(
@@ -192,35 +201,46 @@ object PageRank {
       delta = row.getDouble(0)
       danglingMass = row.getDouble(1)
 
-      // Unpersist superseded rank vectors only at truncation boundaries: a
-      // localCheckpoint'd parent may be needed to recompute a lost cached
-      // block of `next` (executor failure on a real cluster — see ADVICE
-      // round 1), so previous vectors stay pinned until the NEW truncation
-      // has been materialized by the action above. Worst case this holds
-      // LineageTruncateEvery narrow (vid, rank, dangling) vectors.
-      if (truncate) {
-        toRelease.foreach(_.unpersist(false)); toRelease.clear()
-        // The per-iteration shuffles stay registered until the driver's
-        // ContextCleaner processes the dead RDD weak references, which only
-        // happens on a driver GC — on a large-memory driver that can lag
-        // many iterations, accumulating shuffle files (tmpfs pressure on
-        // this box; disk pressure on a cluster) and growing the map-output
-        // tracker. Nudge the cleaner at each truncation boundary.
-        System.gc()
+      // Release the vector superseded TWO iterations ago (the direct parent
+      // stays pinned until the new checkpoint is materialized by the action
+      // above, so a lost block can still recompute — ADVICE round 1). For a
+      // checkpointed DF, `unpersist` on the DataFrame is a no-op; the blocks
+      // belong to the internal checkpointed RDD, released via releaseVector.
+      if (toRelease.size >= 2) {
+        releaseVector(toRelease.remove(0))
+        // Old shuffles/broadcasts are only dropped when the driver's
+        // ContextCleaner processes dead weak references (i.e. on a driver
+        // GC); on a large-heap driver that can lag the whole run,
+        // accumulating shuffle files. Nudge it periodically.
+        if (iter % 5 == 0 && !sys.env.contains("GRAFT_PR_NOGC")) System.gc()
       }
       ranks = next
       iter += 1
       iterTimes += (System.nanoTime() - iterT0) / 1e9
       if (sys.env.contains("GRAFT_PR_VERBOSE"))
         println(f"[pr] iter=$iter delta=$delta%.3e secs/iter=${(System.nanoTime() - iterT0) / 1e9}%.2f")
+      onIterationEnd(iter)
       checkpoint.foreach(_.maybeWrite(iter, delta, ranks.select("vid", "rank", "dangling")))
     }
 
-    toRelease.foreach(_.unpersist(false))
+    toRelease.dropRight(1).foreach(releaseVector) // keep the result's own blocks
     adj.unpersist(false)
     verts.unpersist(false)
     Result(ranks.select(col("vid"), col("rank")), iter, delta, n, numEdges,
       setupSecs, (System.nanoTime() - loopT0) / 1e9, iterTimes.toSeq)
+  }
+
+  /** Free the storage behind a superseded rank vector: cached plans
+    * unpersist through the CacheManager; localCheckpoint'd vectors hold
+    * their blocks on the INTERNAL checkpointed RDD inside the LogicalRDD
+    * leaf (Dataset.unpersist cannot reach it — without this, every
+    * iteration's ~|V|-row checkpoint stays resident until a driver GC). */
+  private def releaseVector(df: DataFrame): Unit = {
+    df.unpersist(false)
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
   }
 
   /** Fixed-iteration variant (no convergence action inside the loop beyond
