@@ -92,7 +92,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val t0 = nowSecs
-    val deadline = t0 + sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "2100").toLong
+    val deadline = t0 + sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "2940").toLong
     def remaining: Double = deadline - nowSecs
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -102,7 +102,7 @@ object Bench {
 
     try {
       // ---- phase 1: query timings (time-boxed to a third of the budget) ----
-      val qBudget = math.min(600.0, (deadline - t0) / 3)
+      val qBudget = math.min(600.0, (deadline - t0) / 4)
       if (!sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) {
         val spark = SparkSession.builder()
           .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -168,6 +168,7 @@ object Bench {
     val aqe = sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "0") == "1"
     val scaleIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALEIT", "12").toInt
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXPAIRS", "3").toInt
+    val minPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MINPAIRS", "2").toInt
     val stealOk = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEALOK", "0.04").toDouble
     val heapGb = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "4").toInt
 
@@ -178,8 +179,11 @@ object Bench {
     val convReserve = 420.0
     var pair = 0
     var pairCost = 900.0 // prior; replaced by the measured first pair
+    // at least minPairs pairs when the budget allows (best-of-n per level
+    // tightens the one-sided-noise estimate); keep retrying past that only
+    // while a level has not yet seen a low-steal window
     while (pair < maxPairs && remaining() > pairCost + convReserve &&
-           (pair == 0 ||
+           (pair < minPairs ||
             runsLow.forall(_.steal > stealOk) || runsHigh.forall(_.steal > stealOk))) {
       val pT0 = nowSecs
       workerRun(lowSpec, coresOf(lowSpec), heapGb, edgesPath, scaleIters, 0.0, parts, aqe,
@@ -258,8 +262,9 @@ object Bench {
          |
          |Input: deterministic power-law edge table (`Generators.powerLawEdges`,
          |seed=42), $edges%,d directed edges after self-loop removal. Damped power
-         |iteration d=0.85 with dangling-mass redistribution; one shuffle and one
-         |action per iteration (`graft.algo.PageRank`). Shuffle partitions fixed at
+         |iteration d=0.85 with dangling-mass redistribution; one shuffle per
+         |iteration, one eager checkpoint job + one convergence action
+         |(`graft.algo.PageRank`). Shuffle partitions fixed at
          |$parts for ALL levels; identical input + $scaleIters fixed iterations per
          |scaling run; JIT warm-up run excluded; each run a FRESH JVM pinned with
          |`taskset` to exactly its core budget.

@@ -164,42 +164,56 @@ object PageRank {
     val iterTimes = scala.collection.mutable.ArrayBuffer[Double]()
     val toRelease = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
+    val joinHint = sys.env.getOrElse("GRAFT_PR_JOIN", "shuffle_hash") match {
+      case "smj" => "merge"
+      case h => h
+    }
     while (delta >= tol && iter < maxIter) {
       val iterT0 = System.nanoTime()
       // Gather-scatter: fan rank/odeg out over the CSR rows (map-side explode,
       // never inside the join), partial-agg, one exchange on vid, final agg.
       // Build side = narrow ranks rows; the array-bearing adj side streams.
-      val contribs = ranks.as("r").hint("shuffle_hash")
+      val contribs = ranks.as("r").hint(joinHint)
         .join(adj.as("l"), col("r.vid") === col("l.src"))
         .select((col("r.rank") / col("l.odeg")).as("w"), explode(col("l.nbrs")).as("vid"))
         .groupBy(col("vid"))
         .agg(sum(col("w")).as("contrib"))
       val base = teleport + damping * danglingMass / n
-      // localCheckpoint (eager, partitioning-preserving) EVERY iteration —
-      // see LineageTruncateEvery's Scaladoc for the measured rationale; the
-      // checkpoint job below materializes the new vector, and the delta
-      // action then reads the fresh blocks.
+      // The eager localCheckpoint (truncating lineage — see
+      // LineageTruncateEvery's Scaladoc for the measured rationale)
+      // materializes the new vector. The checkpointed plan must NOT
+      // reference the previous vector directly: a join with `ranks` here
+      // would fold the predecessor's outputPartitioning/ordering expressions
+      // into each checkpoint's LogicalRDD, and the accumulated
+      // PartitioningCollection makes the localCheckpoint call itself grow
+      // without bound (measured: 0.2s -> 88s/iteration by iteration 25).
+      // The aggregate boundary below contribs resets the collection, so this
+      // plan's partitioning stays constant-size across iterations.
+      val tCk0 = System.nanoTime()
       val next = verts
-        .join(contribs.hint("shuffle_hash"), Seq("vid"), "left")
+        .join(contribs.hint(joinHint), Seq("vid"), "left")
         .select(
           col("vid"),
           (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"),
           col("dangling"))
         .localCheckpoint(true)
       toRelease += ranks
+      val tAgg0 = System.nanoTime()
 
       // The convergence action: one co-partitioned (exchange-free) pass over
-      // the freshly checkpointed vector and its predecessor computes the
-      // per-step L-inf delta AND the next dangling mass (no separate
-      // dangling-mass job ever runs).
+      // the fresh checkpoint and its predecessor computes the per-step L-inf
+      // delta AND the next dangling mass (this plan is never checkpointed,
+      // so the partitioning-collection concern above does not apply).
       val row = next.as("n")
-        .join(ranks.as("p").hint("shuffle_hash"), col("n.vid") === col("p.vid"))
+        .join(ranks.as("p").hint(joinHint), col("n.vid") === col("p.vid"))
         .agg(
           max(abs(col("n.rank") - col("p.rank"))).as("delta"),
           sum(when(col("n.dangling"), col("n.rank")).otherwise(0.0)).as("m"))
         .head()
       delta = row.getDouble(0)
       danglingMass = row.getDouble(1)
+      if (sys.env.contains("GRAFT_PR_TIMING"))
+        println(f"[prt] iter=${iter + 1} plan=${(tCk0 - iterT0) / 1e9}%.2f ck=${(tAgg0 - tCk0) / 1e9}%.2f agg=${(System.nanoTime() - tAgg0) / 1e9}%.2f")
 
       // Release the vector superseded TWO iterations ago (the direct parent
       // stays pinned until the new checkpoint is materialized by the action
