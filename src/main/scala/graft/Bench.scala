@@ -61,6 +61,8 @@ object Bench {
     pb.environment().put("SPARK_HOME", sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
     pb.environment().put("SPARK_LOCAL_DIRS", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+    // the ContextCleaner GC nudge in PageRank.run is opt-in (harness-only)
+    pb.environment().put("GRAFT_PR_GC", "1")
     pb.redirectErrorStream(false)
     val proc = pb.start()
     val out = new StringBuilder
@@ -115,17 +117,37 @@ object Bench {
         spark.sparkContext.setLogLevel("WARN")
         val qT0 = nowSecs
         implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
-        queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // Per-query cap so one pathological query cannot starve the rest of
+        // the phase (round 2: one 470s query left 31 queries untimed), and
+        // north-rule g_* queries measured FIRST. Sentinels: -1.0 = skipped
+        // (budget exhausted before start), -2.0 = killed by the watchdog,
+        // -3.0 = query errored; all three land in notes by name.
+        val perQueryCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_QCAP", "60").toLong
+        def prio(n: String): Int =
+          if (n.startsWith("g_")) 0 else if (n.startsWith("q")) 1
+          else if (n.startsWith("e_")) 2 else if (n.startsWith("t_")) 3
+          else if (n.startsWith("d_")) 4 else if (n.startsWith("s_")) 5
+          else if (n.startsWith("mm_")) 6 else 7
+        queryResults = SparkEntry.queries.toSeq.sortBy { case (n, _) => (prio(n), n) }.map { case (name, fn) =>
           if (nowSecs - qT0 > qBudget) name -> -1.0
           else {
             val s = nowSecs
-            // per-query watchdog: a hung query must not eat the global
-            // deadline — cancel its jobs and move on
-            val f = scala.concurrent.Future { try { fn(spark, sfDir).count() } catch { case _: Throwable => } }
-            try scala.concurrent.Await.result(f,
-              scala.concurrent.duration.Duration(math.max(30L, (qBudget - (nowSecs - qT0)).toLong), "s"))
-            catch { case _: Throwable => spark.sparkContext.cancelAllJobs() }
-            name -> (nowSecs - s)
+            val cap = math.min(perQueryCap, math.max(10L, (qBudget - (nowSecs - qT0)).toLong))
+            val f = scala.concurrent.Future {
+              try { fn(spark, sfDir).count(); None }
+              catch { case t: Throwable => Some(Option(t.getMessage).getOrElse(t.getClass.getName)) }
+            }
+            try scala.concurrent.Await.result(f, scala.concurrent.duration.Duration(cap, "s")) match {
+              case None => name -> (nowSecs - s)
+              case Some(msg) =>
+                notes.append(s"phase1 error: $name: ${msg.take(120)}\n")
+                name -> -3.0
+            } catch {
+              case _: Throwable =>
+                spark.sparkContext.cancelAllJobs()
+                notes.append(f"phase1 timeout: $name killed after ${nowSecs - s}%.1fs (cap ${cap}s)\n")
+                name -> -2.0
+            }
           }
         }
         // ---- phase 2: bench edge table (same session) ----

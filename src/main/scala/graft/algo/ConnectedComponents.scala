@@ -126,10 +126,17 @@ object ConnectedComponents {
     * *position* in the given vertex ordering (for fixture graphs whose vids
     * are the visit order, this equals reference `listComponents.c:306-319`). */
   def normalizeToFirstVisit(labels: DataFrame): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
     val firstSeen = labels.groupBy("component").agg(min("vid").as("firstVid"))
-    val renum = firstSeen
-      .select(col("component"), (dense_rank().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("firstVid"))) - 1).cast("long").as("normComponent"))
+    // Distributed renumbering: range-partitioned sort + per-partition offsets
+    // (zipWithIndex) — at web scale the component count is O(|V|), so a
+    // single global unpartitioned window task would funnel everything
+    // through one core (round-2 verdict #7).
+    val renum = firstSeen.sort("firstVid")
+      .select(col("component").cast("long")).as[Long]
+      .rdd.zipWithIndex()
+      .toDF("component", "normComponent")
     labels.join(renum, "component").select(col("vid"), col("normComponent").as("component"))
   }
 }

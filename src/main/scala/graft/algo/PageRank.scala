@@ -224,9 +224,11 @@ object PageRank {
         releaseVector(toRelease.remove(0))
         // Old shuffles/broadcasts are only dropped when the driver's
         // ContextCleaner processes dead weak references (i.e. on a driver
-        // GC); on a large-heap driver that can lag the whole run,
-        // accumulating shuffle files. Nudge it periodically.
-        if (iter % 5 == 0 && !sys.env.contains("GRAFT_PR_NOGC")) System.gc()
+        // GC); on a large-heap driver that can lag a long benchmark run,
+        // accumulating shuffle files. The nudge is a HARNESS concern, so it
+        // is opt-IN (GRAFT_PR_GC, set by BenchWorker) — library callers
+        // never pay a forced full GC (ADVICE round 2).
+        if (iter % 5 == 0 && sys.env.contains("GRAFT_PR_GC")) System.gc()
       }
       ranks = next
       iter += 1
@@ -237,7 +239,11 @@ object PageRank {
       checkpoint.foreach(_.maybeWrite(iter, delta, ranks.select("vid", "rank", "dangling")))
     }
 
-    toRelease.dropRight(1).foreach(releaseVector) // keep the result's own blocks
+    // The returned `ranks` is never in the buffer (only superseded vectors
+    // are added), so release EVERYTHING still queued — the final checkpoint
+    // is already materialized and owns its own blocks (ADVICE round 2: the
+    // old dropRight(1) left the last predecessor resident forever).
+    toRelease.foreach(releaseVector)
     adj.unpersist(false)
     verts.unpersist(false)
     Result(ranks.select(col("vid"), col("rank")), iter, delta, n, numEdges,

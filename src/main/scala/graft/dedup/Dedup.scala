@@ -60,12 +60,23 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** Exact token-k-shingle Jaccard for every pair sharing >= 1 shingle.
-    * Scale path: the shingle self-join IS the candidate generation (inverted
-    * index); hot shingles can be capped upstream. */
-  def ngramJaccard(docs: DataFrame, keyCol: String, textCol: String, k: Int): DataFrame = {
-    val sh = docs.select(col(keyCol).cast("long").as("key"),
+  /** Token-k-shingle Jaccard for every pair sharing >= 1 surviving shingle.
+    * The shingle self-join IS the candidate generation (inverted index), so
+    * shingles whose document frequency exceeds `maxShingleDf` are dropped
+    * BEFORE the join — one stop-word shingle shared by f documents would
+    * otherwise produce an f² bucket (the round-1/2 scale-killer). Jaccard is
+    * then computed over the surviving shingle sets (both `common` and the
+    * per-doc sizes), i.e. the standard df-capped n-gram Jaccard of web
+    * dedup pipelines — self-consistent and oracle-reproducible. */
+  def ngramJaccard(docs: DataFrame, keyCol: String, textCol: String, k: Int,
+      maxShingleDf: Long = 10000L): DataFrame = {
+    val sh0 = docs.select(col(keyCol).cast("long").as("key"),
       explode(array_distinct(TextOps.shingles(col(textCol), k))).as("sh"))
+    // document-frequency cap: one extra groupBy on the shingle hash
+    val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxShingleDf)
+      .select("sh")
+    val sh = sh0.join(rare, Seq("sh"), "left_semi")
     val sizes = sh.groupBy("key").agg(count(lit(1)).as("n"))
     val pairs = sh.as("l").join(sh.as("r"),
         col("l.sh") === col("r.sh") && col("l.key") < col("r.key"))

@@ -54,22 +54,27 @@ object GraphOps {
     * help `neighborhoodGeneratorHelp.txt`): explode each vertex's 1-hop
     * ego-net into its own graph, keyed by `center`. `disk=false` is the
     * "neighbors" mode (subgraph induced on the open neighborhood N(c));
-    * `disk=true` additionally keeps the spokes (c, x). Shape: self-join on
-    * the shared center + an edge-existence semi join — the same
-    * wedge-closure join as triangle counting, so hub skew is bounded by the
-    * same degree-orientation argument when the input is pre-oriented. */
+    * `disk=true` additionally keeps the spokes (c, x).
+    *
+    * Plan: an ego edge (c, a-b) is exactly a triangle {c,a,b}, so the rows
+    * are the 3 center-rotations of the degree-ORIENTED triangle enumeration
+    * ([[graft.algo.Triangles.enumerate]]). Unlike the round-1 wedge
+    * self-join (a degree-d hub generated d² wedge candidates before the
+    * existence check), no intermediate exceeds O(m^1.5): hub skew is
+    * bounded by the orientation argument, and the output itself is the only
+    * triangle-sized thing materialized. */
   def egoNets(edges: DataFrame, disk: Boolean = false): DataFrame = {
-    val sym = symmetrize(edges)
-    // (center, a) x (center, b), a < b, keep iff (a, b) is an edge
-    val wedges = sym.select(col("src").as("center"), col("dst").as("a"))
-      .join(sym.select(col("src").as("center"), col("dst").as("b")), "center")
-      .where(col("a") < col("b"))
-    val ego = wedges.join(
-      sym.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"), "left_semi")
-      .select(col("center"), col("a").as("src"), col("b").as("dst"))
+    val tri = graft.algo.Triangles.enumerate(edges.sparkSession, edges)
+    val ego = tri.select(col("a").as("center"), least(col("b"), col("c")).as("src"),
+        greatest(col("b"), col("c")).as("dst"))
+      .union(tri.select(col("b"), least(col("a"), col("c")), greatest(col("a"), col("c"))))
+      .union(tri.select(col("c"), least(col("a"), col("b")), greatest(col("a"), col("b"))))
     if (!disk) ego
-    else ego.union(sym.select(col("src").as("center"),
-      least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst")))
+    else {
+      val sym = symmetrize(edges)
+      ego.union(sym.select(col("src").as("center"),
+        least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst")))
+    }
   }
 
   /** Hash-partition an edge table by a key column for iteration reuse

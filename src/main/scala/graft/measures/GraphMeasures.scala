@@ -39,6 +39,14 @@ object GraphMeasures {
     val mStats = e.groupBy("graph_id").agg(count(lit(1)).as("m"))
     // CC per graph: reuse the global algorithm with graph-id-disjoint vids
     // (graph_id is folded into the vid space, then components counted back).
+    // The packing is only injective for graph_id < 2^23 and vid < 2^40 —
+    // fail loudly instead of silently colliding (ADVICE round 2).
+    val lims = e.agg(max(col("graph_id").cast("long")).as("mg"),
+      max(greatest(col("src"), col("dst"))).as("mv")).head()
+    if (!lims.isNullAt(0))
+      require(lims.getLong(0) < (1L << 23) && lims.getLong(1) < (1L << 40),
+        s"GraphMeasures.measures: id packing needs graph_id < 2^23 and vid < 2^40 " +
+          s"(got max graph_id=${lims.getLong(0)}, max vid=${lims.getLong(1)})")
     val packed = e.select((col("graph_id") * lit(1L << 40) + col("src")).as("src"),
       (col("graph_id") * lit(1L << 40) + col("dst")).as("dst"))
     val cc = ConnectedComponents.run(spark, packed)

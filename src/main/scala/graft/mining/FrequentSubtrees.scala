@@ -267,8 +267,31 @@ object FrequentSubtrees {
       .map { case (gid, vs, es) =>
         val sorted = vs.sortBy(_._1)
         val idx = sorted.map(_._1).zipWithIndex.toMap
-        TGraph(gid, sorted.map(_._2),
+        val g = TGraph(gid, sorted.map(_._2),
           es.getOrElse(Nil).map { case (s, d, l) => (idx(s), idx(d), l) })
+        // Rooted-forest precondition (embedsRooted's global-injectivity
+        // argument needs it, see its Scaladoc): acyclic AND in-degree <= 1 —
+        // a shared child (in-degree 2) is acyclic as an undirected graph but
+        // still lets sibling-injective matching reuse a graph vertex. Fail
+        // loudly instead of silently overcounting (ADVICE round 2).
+        val indeg = Array.fill(g.vlabels.size)(0)
+        for ((_, d, _) <- g.edges) {
+          indeg(d) += 1
+          require(indeg(d) <= 1,
+            s"FrequentSubtrees.mineRooted: transaction graph $gid has a vertex with " +
+              "in-degree > 1; the rooted miner requires a rooted-forest DB")
+        }
+        val parent = scala.collection.mutable.Map[Int, Int]()
+        def find(x: Int): Int = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+        var merged = 0
+        for ((a, b, _) <- g.edges) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { parent(ra) = rb; merged += 1 }
+        }
+        require(merged == g.edges.size,
+          s"FrequentSubtrees.mineRooted: transaction graph $gid is cyclic; the " +
+            "rooted miner requires a rooted-forest DB")
+        g
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
 

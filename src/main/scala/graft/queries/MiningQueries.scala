@@ -180,8 +180,10 @@ object MiningQueries {
     "f_spanning_trees" -> ((s, dir) => {
       import s.implicits._
       grouped[(Long, Long)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
+        // Kirchhoff-per-block counting is polynomial, so the bound only caps
+        // the reported value; 1e12 keeps the 3^t oracle FP-exact (3^25 < 2^53).
         Iterator.single((gid,
-          graft.trees.TreeKernels.countSpanningTrees(es, 2000000L).getOrElse(-1L)))
+          graft.trees.TreeKernels.countSpanningTrees(es, 1000000000000L).getOrElse(-1L)))
       }.toDF("graph_id", "n_spanning").orderBy("graph_id")
     }),
 

@@ -68,7 +68,7 @@ object TextQueries {
     }),
 
     "d_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", k = 3, maxShingleDf = 100L)
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(desc("jaccard"), asc("a"), asc("b"))
@@ -182,10 +182,12 @@ object TextQueries {
          |               generate_subscripts(string_split(text, ' '), 1) AS pos
          |        FROM documents WHERE text <> '')
          |  WHERE tok <> ''
-         |), sh AS (
+         |), sh0 AS (
          |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
          |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
          |              JOIN toks c ON c.doc_id = a.doc_id AND c.idx = a.idx + 2
+         |), rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100),
+         | sh AS (SELECT doc_id, sh0.sh FROM sh0 JOIN rare USING (sh)
          |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          | pairs AS (
          |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common

@@ -27,25 +27,44 @@ object EventStreams {
   /** Stateful sessionization: per-user state tracks the open session; a gap
     * over `gapMinutes` closes it. The batch equivalent (lag/cumsum windows)
     * is queries.EventQueries "e_sessionize"; this is the unbounded-stream
-    * form with timeout-driven state eviction. */
+    * form with timeout-driven state EVICTION: when the event-time watermark
+    * passes lastTs + gap, the open session is closed, emitted, and the
+    * per-user state removed — without this (round-2's NoTimeout) state grows
+    * with the all-time user count instead of the active-user count. */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
+    val gapMs = gapMinutes.toLong * 60 * 1000
     events
+      .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
-      .mapGroupsWithState[(Long, Long, Long), SessionUpdate](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[(Long, Long, Long), SessionUpdate](GroupStateTimeout.EventTimeTimeout) {
         case (uid, it, state: GroupState[(Long, Long, Long)]) =>
-          val gapMs = gapMinutes.toLong * 60 * 1000
-          var (closed, lastTs, inLast) = state.getOption.getOrElse((0L, Long.MinValue, 0L))
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            if (lastTs != Long.MinValue && e.ts.getTime - lastTs > gapMs) {
-              closed += 1
-              inLast = 0L
+          if (state.hasTimedOut) {
+            // the open session's gap elapsed in event time: close + evict
+            val (closed, _, _) = state.get
+            state.remove()
+            SessionUpdate(uid, closed + 1, 0L)
+          } else {
+            var (closed, lastTs, inLast) = state.getOption.getOrElse((0L, Long.MinValue, 0L))
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              if (lastTs != Long.MinValue && e.ts.getTime - lastTs > gapMs) {
+                closed += 1
+                inLast = 0L
+              }
+              inLast += 1
+              lastTs = e.ts.getTime
             }
-            inLast += 1
-            lastTs = e.ts.getTime
+            state.update((closed, lastTs, inLast))
+            // schedule eviction at session close; the timestamp must exceed
+            // the current watermark (Spark contract), so clamp just past it.
+            // Batch execution strips the watermark node — no timeout there.
+            val wm = try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => -1L }
+            if (wm >= 0 || state.getOption.isDefined)
+              try state.setTimeoutTimestamp(math.max(lastTs + gapMs, wm + 1))
+              catch { case _: UnsupportedOperationException => () }
+            SessionUpdate(uid, closed, inLast)
           }
-          state.update((closed, lastTs, inLast))
-          SessionUpdate(uid, closed, inLast)
       }
   }
 
