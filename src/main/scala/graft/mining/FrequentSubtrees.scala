@@ -34,6 +34,25 @@ import org.apache.spark.storage.StorageLevel
   */
 object FrequentSubtrees {
 
+  /** Embedding operator for the support-counting step — the reference's
+    * `lwg -e` operator dispatch (`lwm_embeddingOperators.c:43-340`):
+    *  - [[ExactSubtree]]: exact subtree iso, forest DBs only (reference
+    *    `subtreeOperator`);
+    *  - [[LocalEasyExact]]: exact for ARBITRARY (cyclic) DBs — pattern
+    *    embeds in some spanning tree of the transaction, decided as
+    *    subgraph iso ([[graft.trees.LocalEasy.treeIntoGraphEmbeds]];
+    *    reference `localEasyOperator` on the full spanning-tree tree);
+    *  - [[LocalEasySampled]]: one-sided error, k blockwise-sampled spanning
+    *    trees per transaction (reference
+    *    `localEasySubtreeCheckOperatorWithResampling`);
+    *  - [[Hops]]: one-sided error, `importance` randomized embedding
+    *    attempts (reference `hopsOperator`, KDD'20). */
+  sealed trait EmbeddingOp extends Serializable
+  case object ExactSubtree extends EmbeddingOp
+  case object LocalEasyExact extends EmbeddingOp
+  final case class LocalEasySampled(k: Int, seed: Long) extends EmbeddingOp
+  final case class Hops(importance: Int, seed: Long) extends EmbeddingOp
+
   /** A transaction graph re-indexed to dense 0-based vertex ids. */
   final case class TGraph(graphId: Long, vlabels: Seq[String], edges: Seq[(Int, Int, String)])
 
@@ -50,8 +69,10 @@ object FrequentSubtrees {
     * threshold. verts: (graph_id, vid, vlabel); edges: (graph_id, src, dst,
     * elabel). Returns (size, cstring, support) ordered by (size, cstring). */
   def mine(spark: SparkSession, verts: DataFrame, edges: DataFrame,
-      threshold: Long, maxPatternSize: Int): DataFrame = {
+      threshold: Long, maxPatternSize: Int,
+      operator: EmbeddingOp = ExactSubtree): DataFrame = {
     import spark.implicits._
+    val requireForest = operator == ExactSubtree
 
     val v = verts.select(col(verts.columns(0)).cast("long").as("graph_id"),
       col(verts.columns(1)).cast("long").as("vid"), col(verts.columns(2)).cast("string").as("vlabel"))
@@ -70,22 +91,27 @@ object FrequentSubtrees {
         val idx = sorted.map(_._1).zipWithIndex.toMap
         val g = TGraph(gid, sorted.map(_._2),
           es.getOrElse(Nil).map { case (s, d, l) => (idx(s), idx(d), l) })
-        // Forest-DB precondition (the reference's
-        // initFrequentTreeMiningForForestDB contract): the subtree-iso kernel
-        // only excludes the entering neighbor, so on a cyclic transaction it
-        // would silently degrade to a non-injective walk and overcount
-        // support. Fail loudly instead (acyclic <=> m = n - #components,
-        // checked cheaply as m + components == n via union-find).
-        val parent = scala.collection.mutable.Map[Int, Int]()
-        def find(x: Int): Int = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
-        var merged = 0
-        for ((a, b, _) <- g.edges) {
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { parent(ra) = rb; merged += 1 }
+        // Forest-DB precondition — EXACT subtree operator only (the
+        // reference's initFrequentTreeMiningForForestDB contract): the
+        // subtree-iso kernel only excludes the entering neighbor, so on a
+        // cyclic transaction it would silently degrade to a non-injective
+        // walk and overcount support. Fail loudly instead (acyclic <=>
+        // m = n - #components, via union-find). The local-easy and HOPS
+        // operators exist precisely FOR cyclic DBs — no check there.
+        if (requireForest) {
+          val parent = scala.collection.mutable.Map[Int, Int]()
+          def find(x: Int): Int = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+          var merged = 0
+          for ((a, b, _) <- g.edges) {
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) { parent(ra) = rb; merged += 1 }
+          }
+          require(merged == g.edges.size,
+            s"FrequentSubtrees.mine: transaction graph $gid is cyclic; the levelwise " +
+              "tree miner with the exact subtree operator requires a forest DB " +
+              "(reference lwm_initAndCollect.c precondition) — use LocalEasyExact/" +
+              "LocalEasySampled/Hops for cyclic DBs")
         }
-        require(merged == g.edges.size,
-          s"FrequentSubtrees.mine: transaction graph $gid is cyclic; the levelwise " +
-            "tree miner requires a forest DB (reference lwm_initAndCollect.c precondition)")
         g
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -167,7 +193,16 @@ object FrequentSubtrees {
         .joinWith(graphs, pairs("graphId") === graphs("graphId"))
         .as[((Seq[String], Seq[(Int, Int, String)], String, Long), TGraph)]
         .filter { case ((vl, es, _, _), g) =>
-          SubtreeIso.embeds(toLTree(vl, es), toLTree(g.vlabels, g.edges))
+          val h = toLTree(vl, es)
+          val gt = toLTree(g.vlabels, g.edges)
+          operator match {
+            case ExactSubtree => SubtreeIso.embeds(h, gt)
+            case LocalEasyExact => graft.trees.LocalEasy.treeIntoGraphEmbeds(h, gt)
+            case LocalEasySampled(k, seed) =>
+              graft.trees.LocalEasy.sampledLocalEmbeds(h, gt, k, seed ^ g.graphId)
+            case Hops(imp, seed) =>
+              graft.trees.LocalEasy.hopsEmbeds(h, gt, imp, seed ^ g.graphId)
+          }
         }
         .map { case ((_, _, key, gid), _) => SupportPair(key, gid) }
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -315,6 +315,64 @@ object MiningQueries {
         .orderBy("size", "cstring")
     }),
 
+    // levelwise miner with the EXACT LOCAL-EASY operator on a CYCLIC DB
+    // (rings — the plain forest miner refuses these): pattern embeds in
+    // some spanning tree of the transaction = subgraph iso (reference
+    // lwm_embeddingOperators.c:165 localEasyOperator on the full
+    // spanning-tree tree). Uniform labels make supports closed-form.
+    "f_lwg_mine_localeasy" -> ((s, dir) => {
+      val (v, e) = ringMinerDB(s, dir)
+      graft.mining.FrequentSubtrees.mine(s, v, e, threshold = 1L, maxPatternSize = 3,
+        operator = graft.mining.FrequentSubtrees.LocalEasyExact)
+        .orderBy("size", "cstring")
+    }),
+
+    // same DB with the HOPS randomized operator (reference
+    // lwm_embeddingOperators.c:254 hopsOperator; KDD'20): one-sided error in
+    // general, but on uniform-label rings every attempt that can succeed
+    // does (each step has >= 1 candidate), so the output is deterministic
+    // and equals the exact miner's — a hard oracle for the sampler.
+    "f_lwg_mine_hops" -> ((s, dir) => {
+      val (v, e) = ringMinerDB(s, dir)
+      graft.mining.FrequentSubtrees.mine(s, v, e, threshold = 1L, maxPatternSize = 3,
+        operator = graft.mining.FrequentSubtrees.Hops(importance = 4, seed = 2024L))
+        .orderBy("size", "cstring")
+    }),
+
+    // HOPS embedding-count estimator (reference hopsOperatorEstimate) for
+    // the path-3 pattern on uniform rings: every attempt's importance
+    // weight is exactly n * 2 * 1 = 2n regardless of rooting and seed
+    // (Knuth estimator is exact when every random choice leads to an
+    // embedding), so the estimate is deterministically 2n (0 when n = 2).
+    "f_hops_estimate" -> ((s, dir) => {
+      import s.implicits._
+      grouped[(Long, Long)](s, dir, GraphDBs.orderCyclesDB(s, dir)) { (gid, es, _) =>
+        val verts = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val idx = verts.zipWithIndex.toMap
+        val g = graft.mining.SubtreeIso.LTree(Array.fill(verts.size)("o"),
+          es.map { case (a, b) => (idx(a), idx(b), "e") }.toArray)
+        val h = graft.mining.SubtreeIso.LTree(Array("o", "o", "o"),
+          Array((0, 1, "e"), (1, 2, "e")))
+        val est = graft.trees.LocalEasy.hopsEstimate(h, g, importance = 8, seed = 7L ^ gid)
+        Iterator.single((gid, math.round(est)))
+      }.toDF("graph_id", "est_path3").orderBy("graph_id")
+    }),
+
+    // gf sampled spanning-tree measures (reference filter.c:437-478,
+    // sampleSubtrees.h, localEasySubtreeIsomorphism.c:1081): per-root local
+    // Wilson samples -> blockwise combinations -> component iso classes,
+    // plus the non-local k-sample class count. Uniform labels on rings make
+    // every sampled tree an n-path => exactly one class, deterministically.
+    "f_noniso_sampled" -> ((s, dir) => {
+      import s.implicits._
+      grouped[(Long, Long, Long, Long)](s, dir, GraphDBs.orderCyclesDB(s, dir)) { (gid, es, _) =>
+        val labs = es.flatMap(e => Seq(e._1, e._2)).distinct.map(_ -> "o").toMap
+        val st = graft.trees.LocalEasy.locallySampledStats(es, labs, k = 3, seed = 42L ^ gid)
+        val (_, nng) = graft.trees.LocalEasy.sampledForestStats(es, labs, k = 3, seed = 99L ^ gid)
+        Iterator.single((gid, st.nConsidered, st.nNoniso, nng))
+      }.toDF("graph_id", "n_considered", "n_noniso", "n_noniso_global").orderBy("graph_id")
+    }),
+
     // min-hash sketch over the pattern poset (reference minhashing.c:124-444:
     // K permutations of a pattern poset; sketch = first pattern per
     // permutation that embeds, evaluated with poset-propagation pruning).
@@ -339,6 +397,16 @@ object MiningQueries {
         .toDF("graph_id", "perm", "pattern_id").orderBy("graph_id", "perm")
     })
   )
+
+  /** Uniform-label ring DB for the cyclic-operator miners: vertices 'o',
+    * edges 'e' over [[GraphDBs.orderCyclesDB]]. */
+  private def ringMinerDB(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = GraphDBs.orderCyclesDB(s, dir)
+    val verts = e.select(col("graph_id"), col("src").as("vid"))
+      .union(e.select(col("graph_id"), col("dst")))
+      .distinct().withColumn("vlabel", lit("o"))
+    (verts, e.withColumn("elabel", lit("e")))
+  }
 
   /** Star-forest DB shared by the miners: one graph per order with
     * o_orderkey % 8 == 0; center vid 0 (label o_orderstatus), leaf vids =
@@ -590,6 +658,36 @@ object MiningQueries {
          |WHERE support >= (SELECT t FROM thr)
          |ORDER BY size, cstring""".stripMargin,
 
-    "f_minhash_poset" -> graft.mining.PatternMinHash.oracleSql(4, 2024L, starSql)
+    "f_minhash_poset" -> graft.mining.PatternMinHash.oracleSql(4, 2024L, starSql),
+
+    "f_lwg_mine_localeasy" -> ringMinerOracleSql,
+    "f_lwg_mine_hops" -> ringMinerOracleSql,
+
+    "f_hops_estimate" ->
+      s"""WITH cust AS ($custSql)
+         |SELECT gid AS graph_id,
+         |  (CASE WHEN n >= 3 THEN 2 * n ELSE 0 END)::BIGINT AS est_path3
+         |FROM cust ORDER BY graph_id""".stripMargin,
+
+    "f_noniso_sampled" ->
+      s"""WITH cust AS ($custSql)
+         |SELECT gid AS graph_id,
+         |  (CASE WHEN n >= 3 THEN 3 ELSE 1 END)::BIGINT AS n_considered,
+         |  1::BIGINT AS n_noniso,
+         |  1::BIGINT AS n_noniso_global
+         |FROM cust ORDER BY graph_id""".stripMargin
   )
+
+  /** Shared oracle for the cyclic-DB miners on uniform rings: the frequent
+    * patterns of size <= 3 are the single vertex, the single edge and the
+    * 3-path, with supports |DB|, |DB| and #graphs with n >= 3. */
+  private def ringMinerOracleSql: String =
+    s"""WITH cust AS ($custSql),
+       |g AS (SELECT count(*)::BIGINT AS g_all,
+       |             sum(CASE WHEN n >= 3 THEN 1 ELSE 0 END)::BIGINT AS g_3 FROM cust)
+       |SELECT * FROM (
+       |  SELECT 1 AS size, 'o' AS cstring, g_all AS support FROM g
+       |  UNION ALL SELECT 2, 'o(e o)', g_all FROM g
+       |  UNION ALL SELECT 3, 'o(e o)(e o)', g_3 FROM g)
+       |ORDER BY size, cstring""".stripMargin
 }

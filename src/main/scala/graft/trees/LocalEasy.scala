@@ -1,0 +1,275 @@
+package graft.trees
+
+import scala.collection.mutable
+import scala.util.Random
+import graft.mining.SubtreeIso
+import graft.mining.SubtreeIso.LTree
+
+/** The reference's local-easy / sampled embedding-operator family
+  * re-derived (reference `localEasySubtreeIsomorphism.c`,
+  * `subtreeIsomorphismSampling.c`, `lwm_embeddingOperators.c:72-340`,
+  * `sampleSubtrees.c`; Welke/Horváth/Wrobel ML'18/'19, KDD'20 HOPS).
+  *
+  * Key semantic identity used throughout (instead of porting the reference's
+  * characteristics DP): a forest inside any biconnected block extends to a
+  * spanning tree of that block (graphic-matroid extension), and spanning
+  * trees compose blockwise, so
+  *
+  *   "tree h embeds in SOME spanning tree of graph g"
+  *     <=>  "h is subgraph-isomorphic to g"           (exact local-easy),
+  *
+  * which this module decides directly by label-guided backtracking — the
+  * same answer the reference's `isLocalEasySubtree`
+  * (`localEasySubtreeIsomorphism.c:961`) computes via its spanning-tree-tree
+  * DP; its cost parameter (local easiness) is mirrored here by the pattern
+  * size, which the level-wise miner bounds. The sampled variants keep the
+  * reference's one-sided-error contract: "yes" answers are certified by an
+  * explicit embedding into a sampled structure, "no" may be wrong.
+  *
+  * All functions are deterministic under their seeds and run per graph —
+  * embarrassingly parallel across a transactional DB, the same execution
+  * shape as [[TreeKernels]]/[[GraphKernels]]. */
+object LocalEasy {
+
+  type Edge = (Long, Long)
+
+  // ------------------------------------------------------------- block tree
+
+  /** v-rooted block decomposition (reference `getBlockTreeT`,
+    * `localEasySubtreeIsomorphism.c:52`): every biconnected component
+    * (bridges included) is rooted at its vertex closest to the DFS root;
+    * `rootedBlocks(v)` = the blocks rooted at v. The DFS is deterministic
+    * (start at min vid, sorted neighbors), so roots are reproducible. */
+  final case class BlockTree(roots: Seq[Long], rootedBlocks: Map[Long, Seq[Seq[Edge]]])
+
+  def blockTree(edges: Seq[Edge]): BlockTree = {
+    val blocks = GraphKernels.biconnectedComponents(edges)
+    if (blocks.isEmpty) return BlockTree(Nil, Map.empty)
+    // deterministic DFS discovery numbers
+    val adj = mutable.Map[Long, mutable.ArrayBuffer[Long]]()
+    for ((a, b) <- edges.distinct if a != b) {
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer()) += b
+      adj.getOrElseUpdate(b, mutable.ArrayBuffer()) += a
+    }
+    adj.values.foreach(buf => buf.sortInPlace())
+    val disc = mutable.Map[Long, Int]()
+    var counter = 0
+    for (root <- adj.keys.toSeq.sorted if !disc.contains(root)) {
+      val stack = mutable.Stack[Long](root)
+      while (stack.nonEmpty) {
+        val v = stack.pop()
+        if (!disc.contains(v)) {
+          disc(v) = counter; counter += 1
+          adj(v).reverseIterator.foreach(w => if (!disc.contains(w)) stack.push(w))
+        }
+      }
+    }
+    val rooted = blocks.groupBy(b => b.flatMap(e => Seq(e._1, e._2)).distinct.minBy(disc))
+    BlockTree(rooted.keys.toSeq.sorted, rooted)
+  }
+
+  // ---------------------------------------- local spanning-tree sampling
+
+  /** Per-root lists of local spanning trees (reference
+    * `getNumberOfNonisomorphicSpanningTreesObtainedByLocalEasySampling`,
+    * `localEasySubtreeIsomorphism.c:1081`): the local graph at root v is the
+    * union of blocks rooted at v; if it is a tree it contributes itself,
+    * else `k` seeded Wilson samples of it (duplicates kept — the reference
+    * deliberately does NOT dedupe here; `filtered=true` is the
+    * `...Filtered` gf variant that dedupes identical edge sets). */
+  def localTreeLists(edges: Seq[Edge], k: Int, seed: Long,
+      filtered: Boolean = false): Seq[Seq[Seq[Edge]]] = {
+    val bt = blockTree(edges)
+    bt.roots.map { v =>
+      val local = bt.rootedBlocks(v).flatten
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val nVerts = local.flatMap(e => Seq(e._1, e._2)).distinct.size
+      val trees =
+        if (local.size == nVerts - 1) Seq(local) // already a tree
+        else (0 until k).map(i => TreeKernels.wilsonSpanningTree(local, seed ^ (v * 1000003L + i))
+          .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.sorted)
+      if (filtered) trees.distinct else trees
+    }
+  }
+
+  /** All blockwise combinations of the per-root local trees — each is a
+    * spanning forest of the graph (reference `spanningTreeCombinations`).
+    * None when the product exceeds `maxCombos` (bound-then-enumerate). */
+  def combinations(lists: Seq[Seq[Seq[Edge]]], maxCombos: Long = 100000L): Option[Seq[Seq[Edge]]] = {
+    val total = lists.foldLeft(1L)((acc, l) => math.min(acc * l.size, maxCombos + 1))
+    if (total > maxCombos) return None
+    Some(lists.foldLeft(Seq(Seq.empty[Edge]))((acc, l) =>
+      for (f <- acc; t <- l) yield f ++ t))
+  }
+
+  /** Distinct canonical strings over the connected components of the given
+    * forests (the reference counts component strings across ALL
+    * combinations, `localEasySubtreeIsomorphism.c:1131-1140`). */
+  def nonisoComponentCount(forests: Seq[Seq[Edge]], labels: Map[Long, String]): Long = {
+    val seen = mutable.Set[String]()
+    for (f <- forests) {
+      // split f into connected components via union-find
+      val parent = mutable.Map[Long, Long]()
+      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+      for ((a, b) <- f) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      f.groupBy(e => find(e._1)).values.foreach { comp =>
+        seen += TreeKernels.canonicalString(comp, labels)
+      }
+    }
+    seen.size.toLong
+  }
+
+  final case class LocallySampledStats(nConsidered: Long, nNoniso: Long)
+
+  /** gf `locallySampledSpanningTrees` + `nonisomorphicLocallySampledSpanningTrees`
+    * (+ `...Filtered` via the flag): number of blockwise combinations
+    * considered, and distinct component isomorphism classes among them.
+    * (-1, -1) when the combination bound trips. */
+  def locallySampledStats(edges: Seq[Edge], labels: Map[Long, String], k: Int, seed: Long,
+      filtered: Boolean = false, maxCombos: Long = 100000L): LocallySampledStats = {
+    val lists = localTreeLists(edges, k, seed, filtered)
+    combinations(lists, maxCombos) match {
+      case Some(forests) => LocallySampledStats(forests.size.toLong, nonisoComponentCount(forests, labels))
+      case None => LocallySampledStats(-1L, -1L)
+    }
+  }
+
+  /** gf `nonisomorphicSampledSpanningTrees` / `sampledSpanningTreesFiltered`
+    * (reference `sampleSubtrees.h:32`,
+    * `getNumberOfNonisomorphicSpanningForestComponentsForKSamples`): k
+    * whole-graph Wilson samples per connected component; returns (#distinct
+    * edge-set forests, #distinct component canonical strings). */
+  def sampledForestStats(edges: Seq[Edge], labels: Map[Long, String], k: Int, seed: Long): (Long, Long) = {
+    val forests = (0 until k).map { i =>
+      // Wilson runs per connected component already (its outer loop restarts
+      // from every unvisited vertex — but on disconnected input the walk
+      // could escape; sample per component explicitly)
+      val parent = mutable.Map[Long, Long]()
+      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+      for ((a, b) <- edges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      edges.groupBy(e => find(e._1)).values.toSeq
+        .flatMap(comp => TreeKernels.wilsonSpanningTree(comp, seed + i))
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.sorted
+    }
+    (forests.distinct.size.toLong, nonisoComponentCount(forests, labels))
+  }
+
+  // ------------------------------------------- embedding operators (miner)
+
+  /** Exact local-easy embedding operator: tree pattern h embeds in some
+    * spanning tree of (arbitrary, possibly cyclic) graph g — by the
+    * blockwise matroid-extension identity this is exactly label-guided
+    * subgraph isomorphism of h into g (reference `localEasyOperator` with
+    * the full spanning-tree tree, `lwm_embeddingOperators.c:165`). Pattern
+    * sizes are miner-bounded, so backtracking is per-row cheap. */
+  def treeIntoGraphEmbeds(h: LTree, g: LTree): Boolean = {
+    if (h.n == 0) return true
+    if (h.n > g.n) return false
+    // DFS order of pattern vertices from root 0 with (vertex, parent, elabel)
+    val order = mutable.ArrayBuffer[(Int, Int, String)]()
+    val seenP = Array.fill(h.n)(false)
+    def dfsP(u: Int, pu: Int, el: String): Unit = {
+      seenP(u) = true
+      order += ((u, pu, el))
+      for ((c, l) <- h.adj(u) if !seenP(c)) dfsP(c, u, l)
+    }
+    dfsP(0, -1, "")
+    if (order.size != h.n) return false // pattern not connected — not a tree
+    val mapping = Array.fill(h.n)(-1)
+    val used = Array.fill(g.n)(false)
+    def bt(idx: Int): Boolean = {
+      if (idx == order.size) return true
+      val (u, pu, el) = order(idx)
+      val cands: Iterator[Int] =
+        if (pu < 0) (0 until g.n).iterator
+        else g.adj(mapping(pu)).iterator.filter(_._2 == el).map(_._1)
+      for (v <- cands if !used(v) && g.vlabels(v) == h.vlabels(u)) {
+        mapping(u) = v; used(v) = true
+        if (bt(idx + 1)) return true
+        used(v) = false; mapping(u) = -1
+      }
+      false
+    }
+    bt(0)
+  }
+
+  /** One blockwise-sampled spanning tree of g as a labeled LTree: a seeded
+    * Wilson tree per nontrivial block plus all bridges — spanning trees
+    * compose blockwise, so the union is a uniform blockwise sample
+    * (reference `sampleSpanningTreeFromCactus` generalized). */
+  def blockwiseSpanningTree(g: LTree, seed: Long): LTree = {
+    val edges = g.edges.map { case (a, b, _) => (a.toLong, b.toLong) }.toSeq
+    val elab = g.edges.map { case (a, b, l) => (math.min(a, b).toLong, math.max(a, b).toLong) -> l }.toMap
+    val chosen = GraphKernels.biconnectedComponents(edges).zipWithIndex.flatMap { case (block, bi) =>
+      if (block.size <= 1) block
+      else TreeKernels.wilsonSpanningTree(block, seed ^ (bi * 7919L + 1))
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    }
+    LTree(g.vlabels, chosen.map { case (a, b) => (a.toInt, b.toInt, elab((a, b))) }.toArray)
+  }
+
+  /** Sampled local-easy operator with resampling (reference
+    * `localEasySubtreeCheckOperatorWithResampling`,
+    * `lwm_embeddingOperators.c:72`): h embeds in one of k blockwise-sampled
+    * spanning trees of g. One-sided error; resampling per call, so (like the
+    * reference warns) it need not satisfy the apriori property. Divergence
+    * from the reference: the k samples are whole-graph blockwise trees
+    * rather than per-root mixed combinations — same operator family and
+    * guarantee, simpler structure (documented; the exact operator above
+    * covers the full-combination semantics). */
+  def sampledLocalEmbeds(h: LTree, g: LTree, k: Int, seed: Long): Boolean =
+    (0 until k).exists(i => SubtreeIso.embeds(h, blockwiseSpanningTree(g, seed + i)))
+
+  // ------------------------------------------------------------------ HOPS
+
+  /** One HOPS attempt (reference `subtreeIsomorphismSampler`,
+    * `subtreeIsomorphismSampling.c:606`; Knuth-style sequential importance
+    * sampling, KDD'20): root the pattern at a random vertex, map it to a
+    * random label-matching graph vertex, then embed the (shuffled) children
+    * of each pattern vertex greedily into unvisited label/edge-label
+    * matching neighbors, all children of a vertex before recursing (the
+    * reference's mixed BFS/DFS). Returns the importance weight — the
+    * product of the number of available choices at every pick — when the
+    * attempt embeds, else 0. E[weight] = #embeddings of the chosen rooting
+    * (Knuth's unbiased leaf-count estimator). */
+  def hopsAttempt(h: LTree, g: LTree, rnd: Random): Double = {
+    if (h.n == 0) return 1.0
+    val root = rnd.nextInt(h.n)
+    val rootCands = (0 until g.n).filter(v => g.vlabels(v) == h.vlabels(root))
+    if (rootCands.isEmpty) return 0.0
+    val w0 = rootCands(rnd.nextInt(rootCands.size))
+    var weight = rootCands.size.toDouble
+    val mapping = Array.fill(h.n)(-1)
+    val used = Array.fill(g.n)(false)
+    mapping(root) = w0; used(w0) = true
+    def rec(u: Int, pu: Int): Boolean = {
+      val kids = rnd.shuffle(h.adj(u).filter(_._1 != pu))
+      for ((c, el) <- kids) {
+        val cands = g.adj(mapping(u)).filter { case (w, wel) =>
+          !used(w) && wel == el && g.vlabels(w) == h.vlabels(c)
+        }
+        if (cands.isEmpty) return false
+        weight *= cands.size
+        val (w, _) = cands(rnd.nextInt(cands.size))
+        mapping(c) = w; used(w) = true
+      }
+      kids.forall { case (c, _) => rec(c, u) }
+    }
+    if (rec(root, -1)) weight else 0.0
+  }
+
+  /** HOPS boolean operator (reference `hopsSimpleOperator` /
+    * `hopsOperator`): succeed if any of `importance` attempts embeds.
+    * One-sided error, seeded. */
+  def hopsEmbeds(h: LTree, g: LTree, importance: Int, seed: Long): Boolean =
+    (0 until importance).exists(i => hopsAttempt(h, g, new Random(seed + i)) > 0)
+
+  /** HOPS embedding-count estimate (reference `hopsOperatorEstimate`): mean
+    * attempt weight over `importance` attempts — an unbiased estimator of
+    * the average per-rooting embedding count. */
+  def hopsEstimate(h: LTree, g: LTree, importance: Int, seed: Long): Double = {
+    var s = 0.0
+    for (i <- 0 until importance) s += hopsAttempt(h, g, new Random(seed + i))
+    s / importance
+  }
+}

@@ -1,0 +1,137 @@
+package graft.trees
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fixtures.Generators
+import graft.mining.SubtreeIso
+import graft.mining.SubtreeIso.LTree
+
+/** Sampled / local-easy embedding-operator family (reference
+  * localEasySubtreeIsomorphism.c, subtreeIsomorphismSampling.c,
+  * lwm_embeddingOperators.c). */
+class LocalEasySpec extends AnyFunSuite {
+
+  private def bowtie = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 2L))
+
+  private def ltree(vl: Seq[String], es: Seq[(Int, Int, String)]) =
+    LTree(vl.toArray, es.toArray)
+
+  private def ring(n: Int): LTree =
+    ltree(Seq.fill(n)("o"), (0 until n).map(i => (i, (i + 1) % n, "e")))
+
+  private def path(k: Int): LTree =
+    ltree(Seq.fill(k)("o"), (0 until k - 1).map(i => (i, i + 1, "e")))
+
+  test("blockTree: roots and rooted blocks of a bowtie and a path") {
+    val bt = LocalEasy.blockTree(bowtie)
+    // both triangles share vertex 2; DFS from 0 discovers 0 first -> the
+    // 0-1-2 triangle roots at 0, the 2-3-4 triangle at 2
+    assert(bt.rootedBlocks.values.flatten.size == 2)
+    assert(bt.rootedBlocks.forall { case (_, bs) => bs.forall(_.size == 3) })
+    val pt = LocalEasy.blockTree(Generators.path(4))
+    assert(pt.rootedBlocks.values.flatten.size == 3) // 3 bridge blocks
+  }
+
+  test("locallySampledStats: rings give one iso class; tree local graphs skip sampling") {
+    val labs = (0L to 9L).map(_ -> "o").toMap
+    val st = LocalEasy.locallySampledStats(Generators.cycle(7), labs, k = 3, seed = 5L)
+    assert(st.nConsidered == 3 && st.nNoniso == 1) // 3 sampled 7-paths, all isomorphic
+    val stPath = LocalEasy.locallySampledStats(Generators.path(4), labs, k = 3, seed = 5L)
+    assert(stPath.nConsidered == 1 && stPath.nNoniso == 1) // every local graph a bridge
+    // bowtie: 2 roots x 3 samples = 9 combinations, each a spanning tree
+    val stBow = LocalEasy.locallySampledStats(bowtie, labs, k = 3, seed = 5L)
+    assert(stBow.nConsidered == 9 && stBow.nNoniso >= 1 && stBow.nNoniso <= 3)
+  }
+
+  test("sampledForestStats: k whole-graph samples, iso classes") {
+    val labs = (0L to 9L).map(_ -> "o").toMap
+    val (nDistinct, nNoniso) = LocalEasy.sampledForestStats(Generators.cycle(6), labs, k = 4, seed = 11L)
+    assert(nDistinct >= 1 && nDistinct <= 4 && nNoniso == 1)
+  }
+
+  test("treeIntoGraphEmbeds: subgraph iso of tree patterns into cyclic graphs") {
+    assert(LocalEasy.treeIntoGraphEmbeds(path(3), ring(5)))
+    assert(LocalEasy.treeIntoGraphEmbeds(path(5), ring(5))) // spanning path
+    assert(!LocalEasy.treeIntoGraphEmbeds(path(6), ring(5))) // too big
+    // star with 3 leaves needs a degree-3 vertex: not in a ring
+    val star3 = ltree(Seq("o", "o", "o", "o"), Seq((0, 1, "e"), (0, 2, "e"), (0, 3, "e")))
+    assert(!LocalEasy.treeIntoGraphEmbeds(star3, ring(6)))
+    // ...but embeds into the bowtie at the center (degree 4)
+    val bowtieL = ltree(Seq.fill(5)("o"), bowtie.map { case (a, b) => (a.toInt, b.toInt, "e") })
+    assert(LocalEasy.treeIntoGraphEmbeds(star3, bowtieL))
+    // label mismatch rejects
+    val labeled = ltree(Seq("a", "b"), Seq((0, 1, "e")))
+    assert(!LocalEasy.treeIntoGraphEmbeds(labeled, ring(4)))
+    // edge-label mismatch rejects
+    val wrongEdge = ltree(Seq("o", "o"), Seq((0, 1, "x")))
+    assert(!LocalEasy.treeIntoGraphEmbeds(wrongEdge, ring(4)))
+  }
+
+  test("blockwiseSpanningTree spans and stays inside the graph") {
+    val g = ltree(Seq.fill(5)("o"), bowtie.map { case (a, b) => (a.toInt, b.toInt, "e") })
+    for (seed <- 0L until 10L) {
+      val t = LocalEasy.blockwiseSpanningTree(g, seed)
+      assert(TreeKernels.isSpanningTree(bowtie, t.edges.map(e => (e._1.toLong, e._2.toLong)).toSeq))
+    }
+  }
+
+  test("sampledLocalEmbeds: one-sided — every yes is an exact yes") {
+    val g = ring(6)
+    for (seed <- 0L until 20L) {
+      // path-4 embeds in every spanning tree of a ring (a path), so the
+      // sampled operator must find it with a single sample
+      assert(LocalEasy.sampledLocalEmbeds(path(4), g, k = 1, seed = seed))
+      // path-6 spans; some samples are the right cut, all are SOME cut:
+      // any cut of a 6-ring is a 6-path, so this must also always embed
+      assert(LocalEasy.sampledLocalEmbeds(path(6), g, k = 1, seed = seed))
+      // too-big pattern never embeds (no false positives)
+      assert(!LocalEasy.sampledLocalEmbeds(path(7), g, k = 3, seed = seed))
+    }
+  }
+
+  test("HOPS: embeds on rings deterministically; estimator exact at 2n") {
+    for (n <- Seq(3, 4, 7); seed <- 0L until 10L) {
+      assert(LocalEasy.hopsEmbeds(path(3), ring(n), importance = 1, seed = seed))
+      val est = LocalEasy.hopsEstimate(path(3), ring(n), importance = 4, seed = seed)
+      assert(math.abs(est - 2.0 * n) < 1e-9, s"n=$n est=$est")
+    }
+    // no false positives: pattern larger than graph
+    assert(!LocalEasy.hopsEmbeds(path(4), ring(3), importance = 16, seed = 1L))
+    assert(LocalEasy.hopsEstimate(path(4), ring(3), importance = 16, seed = 1L) == 0.0)
+    // star-3 into bowtie: only the center fits; attempts rooted elsewhere
+    // may fail, but with enough importance it is found
+    val star3 = ltree(Seq("o", "o", "o", "o"), Seq((0, 1, "e"), (0, 2, "e"), (0, 3, "e")))
+    val bowtieL = ltree(Seq.fill(5)("o"), bowtie.map { case (a, b) => (a.toInt, b.toInt, "e") })
+    assert(LocalEasy.hopsEmbeds(star3, bowtieL, importance = 64, seed = 3L))
+  }
+
+  test("miner with local-easy/HOPS operators on a cyclic DB (brute-force cross-check)") {
+    // exact subtree operator refuses cyclic transactions; the local-easy
+    // operator mines them
+    val spark = graft.SparkTestSession.spark
+    val gids = Seq(1L -> 3, 2L -> 4, 3L -> 5, 4L -> 2) // ring sizes (2 = single edge)
+    val vertRows = gids.flatMap { case (g, n) => (0 until n).map(i => (g, i.toLong, "o")) }
+    val edgeRows = gids.flatMap { case (g, n) =>
+      if (n == 2) Seq((g, 0L, 1L, "e"))
+      else (0 until n).map(i => (g, i.toLong, ((i + 1) % n).toLong, "e"))
+    }
+    import spark.implicits._
+    val v = vertRows.toDF("graph_id", "vid", "vlabel")
+    val e = edgeRows.toDF("graph_id", "src", "dst", "elabel")
+    val exact = graft.mining.FrequentSubtrees.mine(spark, v, e, threshold = 1, maxPatternSize = 3,
+      operator = graft.mining.FrequentSubtrees.LocalEasyExact)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(exact == Set((1, "o", 4L), (2, "o(e o)", 4L), (3, "o(e o)(e o)", 3L)))
+    val hops = graft.mining.FrequentSubtrees.mine(spark, v, e, threshold = 1, maxPatternSize = 3,
+      operator = graft.mining.FrequentSubtrees.Hops(4, 99L))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(hops == exact) // on uniform rings HOPS is deterministic-exact
+    val sampled = graft.mining.FrequentSubtrees.mine(spark, v, e, threshold = 1, maxPatternSize = 3,
+      operator = graft.mining.FrequentSubtrees.LocalEasySampled(2, 7L))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(sampled == exact) // every ring cut contains every path-3
+    // the plain exact-subtree operator must refuse the cyclic DB
+    intercept[org.apache.spark.SparkException] {
+      graft.mining.FrequentSubtrees.mine(spark, v, e, threshold = 1, maxPatternSize = 3).collect()
+    }
+  }
+}
