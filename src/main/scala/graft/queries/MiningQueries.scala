@@ -373,6 +373,40 @@ object MiningQueries {
       }.toDF("graph_id", "n_considered", "n_noniso", "n_noniso_global").orderBy("graph_id")
     }),
 
+    // cactus-tree subtree isomorphism — tci (reference cactustree.c:11,
+    // executable cactus.c) on the cactus-chain DB with uniform labels:
+    // star-3 needs a degree->=3 vertex (first chord endpoint, n >= 4),
+    // path-3 needs 3 vertices.
+    "f_tci" -> ((s, dir) => {
+      import s.implicits._
+      grouped[(Long, Boolean, Boolean)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
+        val verts = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val idx = verts.zipWithIndex.toMap
+        val g = graft.mining.SubtreeIso.LTree(Array.fill(verts.size)("o"),
+          es.map { case (a, b) => (idx(a), idx(b), "e") }.toArray)
+        val star3 = graft.mining.SubtreeIso.LTree(Array("o", "o", "o", "o"),
+          Array((0, 1, "e"), (0, 2, "e"), (0, 3, "e")))
+        val path3 = graft.mining.SubtreeIso.LTree(Array("o", "o", "o"),
+          Array((0, 1, "e"), (1, 2, "e")))
+        Iterator.single((gid,
+          graft.trees.LocalEasy.cactusTreeSubIso(star3, g).getOrElse(false),
+          graft.trees.LocalEasy.cactusTreeSubIso(path3, g).getOrElse(false)))
+      }.toDF("graph_id", "sub_star3", "sub_path3").orderBy("graph_id")
+    }),
+
+    // outerplanar block-and-bridge tree kernel — opk (reference opk.c:18)
+    // on uniform-label rings: the BB-tree is a star around one block node
+    // labeled with the ring's outerplanar cstring, so the level-tree
+    // features are closed-form in n.
+    "f_opk" -> ((s, dir) => {
+      import s.implicits._
+      grouped[(Long, String)](s, dir, GraphDBs.orderCyclesDB(s, dir)) { (gid, es, _) =>
+        val labs = es.flatMap(e => Seq(e._1, e._2)).distinct.map(_ -> "o").toMap
+        graft.trees.GraphKernels.opkFeatures(es, labs, depth = 3)
+          .getOrElse(Nil).map(f => (gid, f))
+      }.toDF("graph_id", "feature").orderBy("graph_id", "feature")
+    }),
+
     // min-hash sketch over the pattern poset (reference minhashing.c:124-444:
     // K permutations of a pattern poset; sketch = first pattern per
     // permutation that embeds, evaluated with poset-propagation pruning).
@@ -675,7 +709,22 @@ object MiningQueries {
          |  (CASE WHEN n >= 3 THEN 3 ELSE 1 END)::BIGINT AS n_considered,
          |  1::BIGINT AS n_noniso,
          |  1::BIGINT AS n_noniso_global
-         |FROM cust ORDER BY graph_id""".stripMargin
+         |FROM cust ORDER BY graph_id""".stripMargin,
+
+    "f_tci" ->
+      s"""WITH cust AS ($custSql)
+         |SELECT gid AS graph_id, n >= 4 AS sub_star3, n >= 3 AS sub_path3
+         |FROM cust ORDER BY graph_id""".stripMargin,
+
+    "f_opk" ->
+      s"""WITH cust AS ($custSql),
+         |op AS (SELECT gid, n, 'OP[' || repeat('o ', (n-1)::INT) || 'o|]' AS ops FROM cust WHERE n >= 3),
+         |f AS (
+         |  SELECT gid, ops || repeat('(o)', n::INT) AS feature FROM op
+         |  UNION ALL SELECT gid, 'o(' || ops || ')' FROM op
+         |  UNION ALL SELECT gid, 'o(' || ops || repeat('(o)', (n-1)::INT) || ')' FROM op
+         |  UNION ALL SELECT gid, 'o(o)' FROM cust WHERE n = 2)
+         |SELECT gid AS graph_id, feature FROM f ORDER BY graph_id, feature""".stripMargin
   )
 
   /** Shared oracle for the cyclic-DB miners on uniform rings: the frequent

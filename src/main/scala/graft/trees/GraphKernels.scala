@@ -399,6 +399,62 @@ object GraphKernels {
     if (ok.isEmpty) -1L else ok.min
   }
 
+  /** Outerplanar block-and-bridge tree kernel features — `opk` (reference
+    * `opk.c:18` outerplanarKernel, BB-tree from `outerplanar.c:456`
+    * createBlockAndBridgeTree, level-tree enumeration `treeKernels.c:91`
+    * bfsSubtreeEnumeration): the graph is condensed to its block-and-bridge
+    * tree (original vertices keep their labels; every nontrivial block
+    * becomes one node labeled with the block's outerplanar canonical string,
+    * connected to each member vertex; bridges stay as edges), then the
+    * features are the canonical strings of the BFS level trees of every
+    * node at depths 1..`depth` (clamped per root at its eccentricity, like
+    * the reference's edgeSort clamp). Returns None when any block is not
+    * outerplanar (the reference returns NULL and skips the graph).
+    * Simplification vs the reference: the separate blocks-only enumeration
+    * pass is subsumed — block-rooted level trees are enumerated in the same
+    * unified BB-tree. */
+  def opkFeatures(edges: Seq[Edge], labels: Map[Long, String], depth: Int = 3): Option[Seq[String]] = {
+    val es = edges.distinct.filter(e => e._1 != e._2).map(e => canonEdge(e._1, e._2)).distinct
+    val blocks = biconnectedComponents(es)
+    val nontrivial = blocks.filter(_.size > 1)
+    val nodeLabels = mutable.Map[Long, String]()
+    for (v <- es.flatMap(e => Seq(e._1, e._2)).distinct) nodeLabels(v) = labels.getOrElse(v, "_")
+    val blockEdges = mutable.ArrayBuffer[Edge]()
+    for ((b, i) <- nontrivial.zipWithIndex) {
+      outerplanarBlockCanonicalString(b, labels) match {
+        case Some(cs) =>
+          val bid = -(i + 1L)
+          nodeLabels(bid) = cs
+          for (v <- b.flatMap(e => Seq(e._1, e._2)).distinct) blockEdges += ((bid, v))
+        case None => return None
+      }
+    }
+    val bbEdges = blocks.filter(_.size == 1).flatten ++ blockEdges
+    val adj = mutable.Map[Long, mutable.ArrayBuffer[Long]]()
+    for ((a, b) <- bbEdges) {
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer()) += b
+      adj.getOrElseUpdate(b, mutable.ArrayBuffer()) += a
+    }
+    def levelString(v: Long, parent: Long, j: Int): String =
+      if (j == 0) nodeLabels(v)
+      else nodeLabels(v) + adj.getOrElse(v, mutable.ArrayBuffer.empty).toSeq.filter(_ != parent)
+        .map(c => s"(${levelString(c, v, j - 1)})").sorted.mkString
+    def eccentricity(v: Long): Int = {
+      var frontier = Set(v); var seen = Set(v); var d = 0
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(u => adj.getOrElse(u, mutable.ArrayBuffer.empty)).diff(seen)
+        if (next.nonEmpty) d += 1
+        seen ++= next; frontier = next
+      }
+      d
+    }
+    val feats = for {
+      v <- adj.keys.toSeq
+      j <- 1 to math.min(depth, eccentricity(v))
+    } yield levelString(v, Long.MinValue, j)
+    Some(feats.distinct.sorted)
+  }
+
   /** Canonical string of a 2-connected OUTERPLANAR block (operator analogue
     * of reference `cs_Outerplanar.c:346,815` canonicalStringOfOuterplanarBlock):
     * the block's unique outer face is its Hamiltonian cycle; the string is

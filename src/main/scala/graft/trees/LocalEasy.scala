@@ -220,6 +220,22 @@ object LocalEasy {
   def sampledLocalEmbeds(h: LTree, g: LTree, k: Int, seed: Long): Boolean =
     (0 until k).exists(i => SubtreeIso.embeds(h, blockwiseSpanningTree(g, seed + i)))
 
+  /** Cactus-tree subtree isomorphism — the `tci` executable (reference
+    * `cactustree.c:11` cactusTreeSubIso, executable `executables/cactus.c`):
+    * does the tree pattern embed in the cactus graph as a subgraph? The
+    * reference iterates each cycle block's spanning trees (one edge deleted
+    * per cycle) under a characteristics DP; by the blockwise-extension
+    * identity (see object Scaladoc) the answer equals plain subgraph iso,
+    * which [[treeIntoGraphEmbeds]] decides for arbitrary graphs — cacti are
+    * the special case where the reference's iteration is linear per block.
+    * Returns None when the graph is not a connected cactus (the
+    * executable's precondition). */
+  def cactusTreeSubIso(h: LTree, g: LTree): Option[Boolean] = {
+    val ge = g.edges.map { case (a, b, _) => (a.toLong, b.toLong) }.toSeq
+    if (!GraphKernels.isConnectedCactus(ge)) None
+    else Some(treeIntoGraphEmbeds(h, g))
+  }
+
   // ------------------------------------------------------------------ HOPS
 
   /** One HOPS attempt (reference `subtreeIsomorphismSampler`,

@@ -104,6 +104,39 @@ class LocalEasySpec extends AnyFunSuite {
     assert(LocalEasy.hopsEmbeds(star3, bowtieL, importance = 64, seed = 3L))
   }
 
+  test("cactusTreeSubIso (tci): cactus-only, degree-bounded star embeddings") {
+    val bowtieL = ltree(Seq.fill(5)("o"), bowtie.map { case (a, b) => (a.toInt, b.toInt, "e") })
+    def star(k: Int) = ltree(Seq.fill(k + 1)("o"), (1 to k).map(i => (0, i, "e")))
+    assert(LocalEasy.cactusTreeSubIso(star(3), bowtieL).contains(true)) // center has degree 4
+    assert(LocalEasy.cactusTreeSubIso(star(4), bowtieL).contains(true))
+    assert(LocalEasy.cactusTreeSubIso(star(5), bowtieL).contains(false)) // no degree-5 vertex
+    assert(LocalEasy.cactusTreeSubIso(path(5), bowtieL).contains(true))
+    assert(LocalEasy.cactusTreeSubIso(path(6), bowtieL).contains(false)) // no 6-path in a bowtie
+    // non-cactus (C4 + chord) -> None
+    val c4chord = ltree(Seq.fill(4)("o"),
+      Seq((0, 1, "e"), (1, 2, "e"), (2, 3, "e"), (3, 0, "e"), (0, 2, "e")))
+    assert(LocalEasy.cactusTreeSubIso(path(3), c4chord).isEmpty)
+  }
+
+  test("opkFeatures: ring BB-tree star features; K4 block -> None; labels matter") {
+    val uniform = (0L to 9L).map(_ -> "o").toMap
+    // ring of 4: block node OP[o o o o|] with 4 member vertices
+    val feats = GraphKernels.opkFeatures(Generators.cycle(4), uniform, depth = 3).get
+    assert(feats == Seq(
+      "OP[o o o o|](o)(o)(o)(o)", "o(OP[o o o o|](o)(o)(o))", "o(OP[o o o o|])").sorted)
+    // bridge only: single mirrored feature
+    assert(GraphKernels.opkFeatures(Seq((0L, 1L)), uniform, depth = 2).get == Seq("o(o)"))
+    // non-outerplanar block kills the kernel (reference returns NULL)
+    assert(GraphKernels.opkFeatures(Generators.clique(4), uniform).isEmpty)
+    // label-sensitivity: distinct labels produce distinct block strings
+    val labs = Map(0L -> "a", 1L -> "b", 2L -> "a", 3L -> "b")
+    val f2 = GraphKernels.opkFeatures(Generators.cycle(4), labs, depth = 1).get
+    assert(f2.exists(_.startsWith("OP[")) && f2 != feats)
+    // bowtie: two block nodes through the shared cut vertex, depth reaches across
+    val bow = GraphKernels.opkFeatures(bowtie, uniform, depth = 4).get
+    assert(bow.nonEmpty && bow.exists(_.contains("OP[o o o|]")))
+  }
+
   test("miner with local-easy/HOPS operators on a cyclic DB (brute-force cross-check)") {
     // exact subtree operator refuses cyclic transactions; the local-easy
     // operator mines them
