@@ -69,6 +69,82 @@ object Generators {
     edges.toDF("src", "dst")
   }
 
+  /** Box–Muller transform: two independent N(mu, sigma²) draws (reference
+    * `randomGraphGenerators.c:27` generateGaussianNoise). */
+  def gaussianPair(rnd: scala.util.Random, mu: Double, sigma: Double): (Double, Double) = {
+    var u1 = 0.0
+    var u2 = 0.0
+    do { u1 = rnd.nextDouble(); u2 = rnd.nextDouble() } while (u1 <= Double.MinPositiveValue)
+    val r = math.sqrt(-2.0 * math.log(u1))
+    (r * math.cos(2 * math.Pi * u2) * sigma + mu, r * math.sin(2 * math.Pi * u2) * sigma + mu)
+  }
+
+  /** Geometric (overlap) threshold graph: n seeded-uniform points in the
+    * unit square, edge iff Euclidean distance < d (reference
+    * `randomGraphGenerators.c:353` randomOverlapGraph). */
+  def overlapGraph(n: Int, d: Double, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    val pts = Array.fill(n)((rnd.nextDouble(), rnd.nextDouble()))
+    for {
+      i <- 0 until n
+      j <- i + 1 until n
+      if math.hypot(pts(i)._1 - pts(j)._1, pts(i)._2 - pts(j)._2) < d
+    } yield (i.toLong, j.toLong)
+  }
+
+  /** Clustered overlap graph (reference `randomGraphGenerators.c:412`
+    * randomClusteredOverlapGraphWithLabels): nClusters seed points, each
+    * cluster's members Gaussian-perturbed (sigma = mu) copies of its seed
+    * and labeled with the cluster id; edge iff distance < d. Returns
+    * (vertex labels, edges); n is truncated to a multiple of nClusters like
+    * the reference. */
+  def clusteredOverlapGraph(n: Int, d: Double, nClusters: Int, mu: Double,
+      seed: Long): (Seq[(Long, String)], Seq[(Long, Long)]) = {
+    require(nClusters <= n, "more clusters than vertices")
+    val rnd = new scala.util.Random(seed)
+    val perCluster = n / nClusters
+    val m = perCluster * nClusters
+    val pts = new Array[(Double, Double)](m)
+    val labels = new Array[(Long, String)](m)
+    var i = 0
+    for (c <- 0 until nClusters) {
+      val cx = rnd.nextDouble(); val cy = rnd.nextDouble()
+      pts(i) = (cx, cy); labels(i) = (i.toLong, c.toString)
+      for (w <- 1 until perCluster) {
+        val (dx, dy) = gaussianPair(rnd, 0.0, mu)
+        // mirror into the unit interval like the reference's abs() fold
+        pts(i + w) = (math.abs(cx + dx) % 1.0, math.abs(cy + dy) % 1.0)
+        labels(i + w) = ((i + w).toLong, c.toString)
+      }
+      i += perCluster
+    }
+    val edges = for {
+      a <- 0 until m
+      b <- a + 1 until m
+      if math.hypot(pts(a)._1 - pts(b)._1, pts(a)._2 - pts(b)._2) < d
+    } yield (a.toLong, b.toLong)
+    (labels.toSeq, edges)
+  }
+
+  /** Chain of biconnected blocks (reference `randomGraphGenerators.c:160`
+    * blockChainGenerator): nBlocks blocks of blockSize vertices, consecutive
+    * blocks sharing one vertex; each block is its Hamiltonian cycle plus
+    * seeded random diagonals with probability `diagonalProbability`. */
+  def blockChain(nBlocks: Int, blockSize: Int, diagonalProbability: Double,
+      seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    val edges = scala.collection.mutable.LinkedHashSet[(Long, Long)]()
+    var blockStart = 0L
+    for (_ <- 0 until nBlocks) {
+      for (v <- blockStart until blockStart + blockSize; w <- v + 1 until blockStart + blockSize) {
+        if (w - v == 1 || rnd.nextDouble() <= diagonalProbability) edges += ((v, w))
+      }
+      edges += ((blockStart, blockStart + blockSize - 1)) // close the cycle
+      blockStart += blockSize - 1
+    }
+    edges.toSeq
+  }
+
   // ---- distributed deterministic power-law generator (bench scale) ----
 
   /** Deterministic Erdős–Rényi G(n, p) (reference `randomGraphGenerators.c:106`

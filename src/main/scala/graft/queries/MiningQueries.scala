@@ -407,6 +407,18 @@ object MiningQueries {
       }.toDF("graph_id", "feature").orderBy("graph_id", "feature")
     }),
 
+    // AIDS99 label decode tables (reference loading.c:558-845
+    // aids99VertexLabel/aids99EdgeLabel): decode numeric codes to element
+    // symbols; the oracle reproduces the table as a SQL CASE.
+    "f_aids_decode" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .select((col("s_suppkey") % 63 + 1).cast("int").as("code"))
+        .withColumn("element", graft.sources.AidsLabels.vertexElement(col("code")))
+        .withColumn("bond", graft.sources.AidsLabels.edgeLabel(col("code") % 3 + 1))
+        .groupBy("code", "element", "bond").agg(count(lit(1)).as("n"))
+        .orderBy("code")
+    }),
+
     // min-hash sketch over the pattern poset (reference minhashing.c:124-444:
     // K permutations of a pattern poset; sketch = first pattern per
     // permutation that embeds, evaluated with poset-propagation pruning).
@@ -710,6 +722,12 @@ object MiningQueries {
          |  1::BIGINT AS n_noniso,
          |  1::BIGINT AS n_noniso_global
          |FROM cust ORDER BY graph_id""".stripMargin,
+
+    "f_aids_decode" ->
+      s"""WITH codes AS (SELECT (s_suppkey % 63 + 1)::INT AS code FROM supplier)
+         |SELECT code, ${graft.sources.AidsLabels.vertexElementSql("code")} AS element,
+         |       ((code % 3) + 1)::VARCHAR AS bond, count(*)::BIGINT AS n
+         |FROM codes GROUP BY 1, 2, 3 ORDER BY code""".stripMargin,
 
     "f_tci" ->
       s"""WITH cust AS ($custSql)
