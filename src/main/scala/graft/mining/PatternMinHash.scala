@@ -93,6 +93,79 @@ object PatternMinHash {
   def sketch(vlabels: Seq[String], edges: Seq[(String, String, String)],
       perms: Seq[Seq[Int]]): Seq[Int] = sketchCounted(vlabels, edges, perms)._1
 
+  // ------------------------------------------------- poset path-cover plan
+
+  /** Cover relations of the pattern poset (sub-pattern -> super-pattern). */
+  def posetCoverEdges: Seq[(Int, Int)] =
+    (vertexPatterns.size until universeSize).flatMap(e => subPatterns(e).map(v => (v, e)))
+
+  /** Minimum path cover of a DAG (reference `poset_pathCover.c:250`
+    * getPathCoverOfPosetUsingAugmentingPaths): by König/Dilworth the
+    * minimum number of vertex-disjoint paths covering a DAG is
+    * n − maxMatching on the edge-split bipartite graph; the augmenting-path
+    * matching's `next` pointers ARE the paths. Paths run small→large in the
+    * poset, so embedding is monotone non-increasing along each. */
+  def pathCover(n: Int, dagEdges: Seq[(Int, Int)]): Seq[Seq[Int]] = {
+    val adj = dagEdges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.sorted }
+    val matchR = Array.fill(n)(-1) // successor vertex -> its path predecessor
+    def augment(u: Int, seen: Array[Boolean]): Boolean =
+      adj.getOrElse(u, Nil).exists { v =>
+        !seen(v) && {
+          seen(v) = true
+          if (matchR(v) < 0 || augment(matchR(v), seen)) { matchR(v) = u; true }
+          else false
+        }
+      }
+    for (u <- 0 until n) augment(u, Array.fill(n)(false))
+    val next = Array.fill(n)(-1)
+    for (v <- 0 until n if matchR(v) >= 0) next(matchR(v)) = v
+    val hasPred = Array.fill(n)(false)
+    for (v <- 0 until n if matchR(v) >= 0) hasPred(v) = true
+    (0 until n).filter(!hasPred(_)).map { head =>
+      val path = mutable.ArrayBuffer[Int](head)
+      var cur = head
+      while (next(cur) >= 0) { cur = next(cur); path += cur }
+      path.toSeq
+    }
+  }
+
+  /** Sketch via the STATIC PATH-COVER evaluation plan (reference
+    * `poset_pathCover.c:722` staticPathCoverEmbeddingForTrees +
+    * `:505` binarySearchEvaluation): the poset is covered once by minimum
+    * chains; per graph each chain is resolved with a BINARY SEARCH for the
+    * largest embedding prefix (embedding is downward closed, hence monotone
+    * along a chain), giving the full embedding set in
+    * O(#chains · log |chain|) oracle calls; the per-permutation minima are
+    * then free. Returns (sketch, oracleCalls). */
+  def sketchByPathCoverCounted(vlabels: Seq[String], edges: Seq[(String, String, String)],
+      perms: Seq[Seq[Int]]): (Seq[Int], Int) = {
+    var calls = 0
+    val vset = vlabels.toSet
+    def oracle(pid: Int): Boolean = {
+      calls += 1
+      if (pid < vertexPatterns.size) vset.contains(vertexPatterns(pid))
+      else {
+        val (s, e, f) = edgePatterns(pid - vertexPatterns.size)
+        edges.exists { case (a, b, el) =>
+          el == e && ((a == s && b == f) || (a == f && b == s))
+        }
+      }
+    }
+    val contained = Array.fill(universeSize)(false)
+    for (path <- pathCover(universeSize, posetCoverEdges)) {
+      var lo = 0; var hi = path.size - 1; var boundary = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) / 2
+        if (oracle(path(mid))) { boundary = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      for (i <- 0 to boundary) contained(path(i)) = true
+    }
+    (perms.map(p => p.find(contained).getOrElse(-1)), calls)
+  }
+
+  def sketchByPathCover(vlabels: Seq[String], edges: Seq[(String, String, String)],
+      perms: Seq[Seq[Int]]): Seq[Int] = sketchByPathCoverCounted(vlabels, edges, perms)._1
+
   /** DuckDB oracle for the star-DB sketch query: containment sets via joins
     * against the (constant) pattern tables, then per permutation the
     * contained pattern with the minimum position. `starSql` must define

@@ -441,6 +441,31 @@ object MiningQueries {
           sk.zipWithIndex.map { case (pid, i) => (gid, i.toLong, pid.toLong) }
         }
         .toDF("graph_id", "perm", "pattern_id").orderBy("graph_id", "perm")
+    }),
+
+    // the same sketch evaluated through the poset MIN PATH COVER plan
+    // (reference poset_pathCover.c:722 staticPathCoverEmbeddingForTrees:
+    // chains once, binary search per chain per graph) — same closed-form
+    // oracle family as f_minhash_poset, different permutation seed.
+    "f_minhash_pathcover" -> ((s, dir) => {
+      import s.implicits._
+      val (verts, edges, _) = starDB(s, dir)
+      val v = verts.select(col("graph_id"), col("vid"), col("vlabel"))
+        .as[(Long, Long, String)]
+      val e = edges.select(col("graph_id"), col("src"), col("dst"), col("elabel"))
+        .as[(Long, Long, Long, String)]
+      val perms = graft.mining.PatternMinHash.permutations(4, 2025L)
+      val vg = v.groupByKey(_._1).mapGroups { (gid, it) => gid -> it.map(t => (t._2, t._3)).toSeq }
+      val eg = e.groupByKey(_._1).mapGroups { (gid, it) => gid -> it.map(t => (t._2, t._3, t._4)).toSeq }
+      vg.joinWith(eg, vg("_1") === eg("_1"), "left")
+        .flatMap { case ((gid, vs), eg2) =>
+          val es = Option(eg2).map(_._2).getOrElse(Seq.empty)
+          val lab = vs.toMap
+          val sk = graft.mining.PatternMinHash.sketchByPathCover(
+            vs.map(_._2), es.map { case (a, b, l) => (lab(a), lab(b), l) }, perms)
+          sk.zipWithIndex.map { case (pid, i) => (gid, i.toLong, pid.toLong) }
+        }
+        .toDF("graph_id", "perm", "pattern_id").orderBy("graph_id", "perm")
     })
   )
 
@@ -705,6 +730,7 @@ object MiningQueries {
          |ORDER BY size, cstring""".stripMargin,
 
     "f_minhash_poset" -> graft.mining.PatternMinHash.oracleSql(4, 2024L, starSql),
+    "f_minhash_pathcover" -> graft.mining.PatternMinHash.oracleSql(4, 2025L, starSql),
 
     "f_lwg_mine_localeasy" -> ringMinerOracleSql,
     "f_lwg_mine_hops" -> ringMinerOracleSql,
