@@ -407,6 +407,28 @@ object MiningQueries {
       }.toDF("graph_id", "feature").orderBy("graph_id", "feature")
     }),
 
+    // ts sampler modes (reference treeSamplingMain.c:230-295,
+    // sampleSubtrees.c: mix / cactus / bridgeForest / listOrSample) on the
+    // cactus-chain DB: the estimate is exactly 3^t there, so the
+    // bound-then-enumerate branch choice, the listOrSample output size and
+    // the bridge-forest component count are all closed-form; sampler
+    // validity (every draw IS a spanning tree) is deterministic.
+    "f_ts_modes" -> ((s, dir) => {
+      import s.implicits._
+      grouped[(Long, Boolean, Boolean, Boolean, Long, Long)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
+        val k = 5
+        val thr = 100L
+        val (mixTrees, usedListing) = graft.trees.TreeKernels.sampleSpanningTreesUsingMix(es, k, thr, 11L ^ gid)
+        val mixOk = mixTrees.forall(t => graft.trees.TreeKernels.isSpanningTree(es, t))
+        val cac = graft.trees.TreeKernels.sampleSpanningTreesUsingCactusMix(es, k, thr, 13L ^ gid)
+        val cacOk = cac.forall(t => graft.trees.TreeKernels.isSpanningTree(es, t))
+        val bf = graft.trees.TreeKernels.bridgeForest(es)
+        val los = graft.trees.TreeKernels.listOrSampleSpanningTrees(es, k, thr, 17L ^ gid)
+        Iterator.single((gid, usedListing, mixOk, cacOk, bf.size.toLong, los.size.toLong))
+      }.toDF("graph_id", "mix_used_listing", "mix_all_spanning", "cactus_all_spanning",
+        "bf_comps", "los_n").orderBy("graph_id")
+    }),
+
     // AIDS99 label decode tables (reference loading.c:558-845
     // aids99VertexLabel/aids99EdgeLabel): decode numeric codes to element
     // symbols; the oracle reproduces the table as a SQL CASE.
@@ -748,6 +770,18 @@ object MiningQueries {
          |  1::BIGINT AS n_noniso,
          |  1::BIGINT AS n_noniso_global
          |FROM cust ORDER BY graph_id""".stripMargin,
+
+    "f_ts_modes" ->
+      s"""WITH cust AS ($custSql),
+         |g AS (SELECT gid, n, n // 3 AS t,
+         |             CAST(round(power(3, n // 3), 0) AS BIGINT) AS p3 FROM cust)
+         |SELECT gid AS graph_id,
+         |  p3 < 100 AS mix_used_listing,
+         |  TRUE AS mix_all_spanning,
+         |  TRUE AS cactus_all_spanning,
+         |  (CASE WHEN n = 2 THEN 1 WHEN n % 3 = 0 THEN t - 1 ELSE t END)::BIGINT AS bf_comps,
+         |  (CASE WHEN p3 < 100 THEN p3 ELSE 5 END)::BIGINT AS los_n
+         |FROM g ORDER BY graph_id""".stripMargin,
 
     "f_aids_decode" ->
       s"""WITH codes AS (SELECT (s_suppkey % 63 + 1)::INT AS code FROM supplier)

@@ -267,6 +267,100 @@ object TreeKernels {
     det.max(BigInt(0)) // the count is nonnegative by the matrix-tree theorem
   }
 
+  // --------------------------------------------- ts sampler modes (mix &c)
+
+  /** Spanning-tree upper-bound estimate as a count (reference
+    * `upperBoundsForSpanningTrees.c` getGoodEstimate, the driver of the
+    * bound-then-enumerate modes): product over biconnected blocks of
+    * C(m, n-1), Long.MaxValue when it overflows. Exact on cacti. */
+  def goodEstimateCount(edges: Seq[Edge]): Long = {
+    val log = GraphKernels.blockStats(edges).spanningTreeEstimateLog
+    if (log > 62 * math.log(2)) Long.MaxValue else math.rint(math.exp(log)).toLong
+  }
+
+  /** `ts` mode `listing` (reference `sampleSubtrees.c:160`
+    * sampleSpanningTreesUsingListing): list ALL spanning trees, then draw k
+    * uniformly WITH replacement (the reference clones on collision). */
+  def sampleSpanningTreesUsingListing(edges: Seq[Edge], k: Int, seed: Long,
+      maxTrees: Int = 1000000): Option[Seq[Seq[Edge]]] =
+    listSpanningTrees(edges, maxTrees).map { all =>
+      if (all.isEmpty) Seq.empty
+      else {
+        val rnd = new Random(seed)
+        (0 until k).map(_ => all(rnd.nextInt(all.size)))
+      }
+    }
+
+  /** `ts` mode `mix` (reference `sampleSubtrees.c:211`
+    * sampleSpanningTreesUsingMix): bound-then-enumerate — when the good
+    * estimate is below `threshold`, sample from the explicit listing,
+    * otherwise run Wilson. Returns (trees, usedListing). */
+  def sampleSpanningTreesUsingMix(edges: Seq[Edge], k: Int, threshold: Long,
+      seed: Long): (Seq[Seq[Edge]], Boolean) = {
+    val est = goodEstimateCount(edges)
+    if (est < threshold)
+      sampleSpanningTreesUsingListing(edges, k, seed) match {
+        case Some(ts) => (ts, true)
+        case None => ((0 until k).map(i => wilsonSpanningTree(edges, seed + i)), false)
+      }
+    else ((0 until k).map(i => wilsonSpanningTree(edges, seed + i)), false)
+  }
+
+  /** One uniform spanning tree of a CACTUS: drop one seeded-random edge per
+    * cycle block, keep all bridges (reference `sampleSubtrees.c`
+    * sampleSpanningTreeFromCactus — cycle blocks have exactly m spanning
+    * trees, one per removable edge, independent across blocks). None when
+    * some nontrivial block is not a cycle. */
+  def sampleCactusSpanningTree(edges: Seq[Edge], seed: Long): Option[Seq[Edge]] = {
+    val rnd = new Random(seed)
+    val out = mutable.ArrayBuffer[Edge]()
+    for (block <- GraphKernels.biconnectedComponents(edges)) {
+      if (block.size == 1) out += block.head
+      else {
+        val nv = block.flatMap(e => Seq(e._1, e._2)).distinct.size
+        if (block.size != nv) return None // not a cycle block: not a cactus
+        val drop = rnd.nextInt(block.size)
+        val sorted = block.sorted
+        out ++= sorted.zipWithIndex.collect { case (e, i) if i != drop => e }
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  /** `ts` mode `cactus` (reference sampleSpanningTreesUsingCactusMix): the
+    * specialized per-cycle sampler when the graph is a cactus
+    * (n - 1 + #blocks == m), falling back to [[sampleSpanningTreesUsingMix]]. */
+  def sampleSpanningTreesUsingCactusMix(edges: Seq[Edge], k: Int, threshold: Long,
+      seed: Long): Seq[Seq[Edge]] = {
+    val cactusTrees = (0 until k).flatMap(i => sampleCactusSpanningTree(edges, seed + i))
+    if (cactusTrees.size == k) cactusTrees
+    else sampleSpanningTreesUsingMix(edges, k, threshold, seed)._1
+  }
+
+  /** `ts` mode `bridgeForest` (reference `sampleSubtrees.c` listBridgeForest):
+    * the forest formed by the graph's bridges, one edge set per connected
+    * component of that forest. */
+  def bridgeForest(edges: Seq[Edge]): Seq[Seq[Edge]] = {
+    val bridges = GraphKernels.biconnectedComponents(edges).filter(_.size == 1).flatten
+    if (bridges.isEmpty) return Seq.empty
+    val parent = mutable.Map[Long, Long]()
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    for ((a, b) <- bridges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    bridges.groupBy(e => find(e._1)).values.map(_.sorted).toSeq.sortBy(_.head)
+  }
+
+  /** `ts` mode `listOrSample` (reference listOrSampleSpanningTrees): when
+    * the estimate is below `threshold`, return ALL spanning trees exactly
+    * once; otherwise k Wilson samples. */
+  def listOrSampleSpanningTrees(edges: Seq[Edge], k: Int, threshold: Long,
+      seed: Long): Seq[Seq[Edge]] = {
+    val est = goodEstimateCount(edges)
+    if (est < threshold)
+      listSpanningTrees(edges, math.min(threshold, Int.MaxValue.toLong).toInt)
+        .getOrElse((0 until k).map(i => wilsonSpanningTree(edges, seed + i)))
+    else (0 until k).map(i => wilsonSpanningTree(edges, seed + i))
+  }
+
   /** tpk 'p' output: the distinct canonical strings of ALL spanning trees of
     * the graph (reference `executables/main.c:186-219`: listSpanningTrees ->
     * canonicalStringOfTree -> searchTree dedupe -> `# id count` + strings).

@@ -42,6 +42,34 @@ class SpanningKernelsSpec extends AnyFunSuite {
     assert(TreeKernels.spanningTreePatterns(Generators.cycle(3), pal).get.size == 2)
   }
 
+  test("ts sampler modes: mix / cactus / bridgeForest / listOrSample") {
+    // mix on K4 (16 trees): estimate C(6,3)=20 >= threshold 10 -> Wilson
+    val (mixW, usedW) = TreeKernels.sampleSpanningTreesUsingMix(k4, 3, 10L, 5L)
+    assert(!usedW && mixW.size == 3 && mixW.forall(TreeKernels.isSpanningTree(k4, _)))
+    // ... and with a high threshold -> listing branch
+    val (mixL, usedL) = TreeKernels.sampleSpanningTreesUsingMix(k4, 3, 1000L, 5L)
+    assert(usedL && mixL.size == 3 && mixL.forall(TreeKernels.isSpanningTree(k4, _)))
+    // cactus sampler on the bowtie: 2 triangle blocks, drop one edge each
+    for (seed <- 0L until 10L) {
+      val t = TreeKernels.sampleCactusSpanningTree(bowtie, seed).get
+      assert(TreeKernels.isSpanningTree(bowtie, t))
+    }
+    assert(TreeKernels.sampleCactusSpanningTree(k4, 1L).isEmpty) // K4 is no cactus
+    assert(TreeKernels.sampleSpanningTreesUsingCactusMix(k4, 2, 1000L, 1L)
+      .forall(TreeKernels.isSpanningTree(k4, _))) // falls back to mix
+    // bridge forest: triangle-bridge-triangle has ONE bridge component
+    val tbt = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 3L))
+    assert(TreeKernels.bridgeForest(tbt) == Seq(Seq((2L, 3L))))
+    // path: all edges are bridges, one connected forest component
+    assert(TreeKernels.bridgeForest(Generators.path(4)).size == 1)
+    assert(TreeKernels.bridgeForest(Generators.cycle(5)).isEmpty)
+    // listOrSample: below threshold lists ALL (bowtie: 9), above samples k
+    assert(TreeKernels.listOrSampleSpanningTrees(bowtie, 2, 100L, 3L).size == 9)
+    assert(TreeKernels.listOrSampleSpanningTrees(bowtie, 2, 5L, 3L).size == 2)
+    // estimate is exact on cacti: bowtie C(3,2)*C(3,2) = 9
+    assert(TreeKernels.goodEstimateCount(bowtie) == 9L)
+  }
+
   test("wilson samples are spanning trees (seed-stable)") {
     for (seed <- 0L until 10L) {
       val t = TreeKernels.wilsonSpanningTree(k4, seed)
