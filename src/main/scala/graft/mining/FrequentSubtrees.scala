@@ -52,6 +52,11 @@ object FrequentSubtrees {
   case object LocalEasyExact extends EmbeddingOp
   final case class LocalEasySampled(k: Int, seed: Long) extends EmbeddingOp
   final case class Hops(importance: Int, seed: Long) extends EmbeddingOp
+  /** mu-important: h in >= minComponents components of the transaction
+    * forest (reference `subtreeAbsimpOperator`, importantSubtrees.c). */
+  final case class AbsImportant(minComponents: Int) extends EmbeddingOp
+  /** h in >= mu * (#components) components (reference `subtreeRelimpOperator`). */
+  final case class RelImportant(mu: Double) extends EmbeddingOp
 
   /** A transaction graph re-indexed to dense 0-based vertex ids. */
   final case class TGraph(graphId: Long, vlabels: Seq[String], edges: Seq[(Int, Int, String)])
@@ -72,7 +77,10 @@ object FrequentSubtrees {
       threshold: Long, maxPatternSize: Int,
       operator: EmbeddingOp = ExactSubtree): DataFrame = {
     import spark.implicits._
-    val requireForest = operator == ExactSubtree
+    val requireForest = operator match {
+      case ExactSubtree | AbsImportant(_) | RelImportant(_) => true // per-component isSubtree
+      case _ => false
+    }
 
     val v = verts.select(col(verts.columns(0)).cast("long").as("graph_id"),
       col(verts.columns(1)).cast("long").as("vid"), col(verts.columns(2)).cast("string").as("vlabel"))
@@ -202,6 +210,10 @@ object FrequentSubtrees {
               graft.trees.LocalEasy.sampledLocalEmbeds(h, gt, k, seed ^ g.graphId)
             case Hops(imp, seed) =>
               graft.trees.LocalEasy.hopsEmbeds(h, gt, imp, seed ^ g.graphId)
+            case AbsImportant(t) =>
+              graft.trees.LocalEasy.importanceCount(h, gt) >= t
+            case RelImportant(mu) =>
+              graft.trees.LocalEasy.importanceRelative(h, gt) >= mu
           }
         }
         .map { case ((_, _, key, gid), _) => SupportPair(key, gid) }

@@ -407,6 +407,18 @@ object MiningQueries {
       }.toDF("graph_id", "feature").orderBy("graph_id", "feature")
     }),
 
+    // mu-important subtree mining (reference subtreeAbsimpOperator,
+    // importantSubtrees.c): one FOREST transaction per customer — a star
+    // per order (uniform labels) — and a pattern counts only when it occurs
+    // in >= 2 of the customer's order components. Closed-form supports:
+    // orders-with->=k-lineitems counts per customer.
+    "f_lwg_mine_absimp" -> ((s, dir) => {
+      val (v, e) = custForestDB(s, dir)
+      graft.mining.FrequentSubtrees.mine(s, v, e, threshold = 1L, maxPatternSize = 3,
+        operator = graft.mining.FrequentSubtrees.AbsImportant(2))
+        .orderBy("size", "cstring")
+    }),
+
     // ts sampler modes (reference treeSamplingMain.c:230-295,
     // sampleSubtrees.c: mix / cactus / bridgeForest / listOrSample) on the
     // cactus-chain DB: the estimate is exactly 3^t there, so the
@@ -490,6 +502,27 @@ object MiningQueries {
         .toDF("graph_id", "perm", "pattern_id").orderBy("graph_id", "perm")
     })
   )
+
+  /** Uniform-label FOREST DB for the important-subtree miner: one
+    * transaction per customer, one star component per order (center
+    * vid = 8*orderkey, leaves 8*orderkey+rn for the first 7 lineitems —
+    * the rn cap keeps vids injective and is mirrored by the oracle). */
+  private def custForestDB(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_custkey").cast("long").as("graph_id"),
+        col("o_orderkey").cast("long").as("ok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_returnflag", "l_linestatus")
+    val li = t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 7)
+      .select(col("l_orderkey").cast("long").as("ok"), col("rn").cast("long").as("rn"))
+      .join(orders, "ok")
+    val centers = orders.select(col("graph_id"), (col("ok") * 8).as("vid"), lit("o").as("vlabel"))
+    val leaves = li.select(col("graph_id"), (col("ok") * 8 + col("rn")).as("vid"), lit("o").as("vlabel"))
+    val edges = li.select(col("graph_id"), (col("ok") * 8).as("src"),
+      (col("ok") * 8 + col("rn")).as("dst"), lit("e").as("elabel"))
+    (centers.union(leaves), edges)
+  }
 
   /** Uniform-label ring DB for the cyclic-operator miners: vertices 'o',
     * edges 'e' over [[GraphDBs.orderCyclesDB]]. */
@@ -770,6 +803,27 @@ object MiningQueries {
          |  1::BIGINT AS n_noniso,
          |  1::BIGINT AS n_noniso_global
          |FROM cust ORDER BY graph_id""".stripMargin,
+
+    "f_lwg_mine_absimp" ->
+      """WITH lic AS (
+        |  SELECT ok, count(*) AS nli FROM (
+        |    SELECT l_orderkey AS ok,
+        |           row_number() OVER (PARTITION BY l_orderkey
+        |                              ORDER BY l_linenumber, l_returnflag, l_linestatus) AS rn
+        |    FROM lineitem) WHERE rn <= 7 GROUP BY ok),
+        |stats AS (
+        |  SELECT o.o_custkey AS gid, count(*) AS nord,
+        |         sum(CASE WHEN coalesce(lic.nli, 0) >= 1 THEN 1 ELSE 0 END) AS n1,
+        |         sum(CASE WHEN coalesce(lic.nli, 0) >= 2 THEN 1 ELSE 0 END) AS n2
+        |  FROM orders o LEFT JOIN lic ON lic.ok = o.o_orderkey GROUP BY 1),
+        |sup AS (
+        |  SELECT 1 AS size, 'o' AS cstring, count(*)::BIGINT AS support FROM stats
+        |  UNION ALL SELECT 2, 'o(e o)',
+        |    sum(CASE WHEN n1 >= 2 THEN 1 ELSE 0 END)::BIGINT FROM stats
+        |  UNION ALL SELECT 3, 'o(e o)(e o)',
+        |    sum(CASE WHEN n2 >= 2 THEN 1 ELSE 0 END)::BIGINT FROM stats)
+        |SELECT size, cstring, support FROM sup WHERE support >= 1
+        |ORDER BY size, cstring""".stripMargin,
 
     "f_ts_modes" ->
       s"""WITH cust AS ($custSql),

@@ -220,6 +220,32 @@ object LocalEasy {
   def sampledLocalEmbeds(h: LTree, g: LTree, k: Int, seed: Long): Boolean =
     (0 until k).exists(i => SubtreeIso.embeds(h, blockwiseSpanningTree(g, seed + i)))
 
+  /** Connected components of a labeled graph, isolated vertices included,
+    * each re-indexed as its own LTree (reference `importantSubtrees.c:14`
+    * graph2Components). */
+  def components(g: LTree): Seq[LTree] = {
+    val parent = Array.tabulate(g.n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for ((a, b, _) <- g.edges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    (0 until g.n).groupBy(find).values.toSeq.map { vs =>
+      val idx = vs.sorted.zipWithIndex.toMap
+      LTree(vs.sorted.map(g.vlabels).toArray,
+        g.edges.filter(e => idx.contains(e._1)).map { case (a, b, l) => (idx(a), idx(b), l) })
+    }
+  }
+
+  /** Number of connected components of the (forest) transaction in which
+    * tree pattern h embeds (reference `importantSubtrees.c:78`
+    * importanceCount — the mu-important subtree machinery). */
+  def importanceCount(h: LTree, g: LTree): Int =
+    components(g).count(c => SubtreeIso.embeds(h, c))
+
+  /** Fraction of components containing h (reference `importanceRelative`). */
+  def importanceRelative(h: LTree, g: LTree): Double = {
+    val cs = components(g)
+    if (cs.isEmpty) 0.0 else cs.count(c => SubtreeIso.embeds(h, c)).toDouble / cs.size
+  }
+
   /** Cactus-tree subtree isomorphism — the `tci` executable (reference
     * `cactustree.c:11` cactusTreeSubIso, executable `executables/cactus.c`):
     * does the tree pattern embed in the cactus graph as a subgraph? The

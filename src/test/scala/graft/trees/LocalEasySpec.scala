@@ -137,6 +137,34 @@ class LocalEasySpec extends AnyFunSuite {
     assert(bow.nonEmpty && bow.exists(_.contains("OP[o o o|]")))
   }
 
+  test("importance operators: per-component counts, absimp/relimp mining") {
+    // forest: star(0;1,2) + edge(3,4) + isolated 5
+    val g = ltree(Seq.fill(6)("o"),
+      Seq((0, 1, "e"), (0, 2, "e"), (3, 4, "e")))
+    assert(LocalEasy.components(g).size == 3)
+    val vpat = ltree(Seq("o"), Nil)
+    val epat = ltree(Seq("o", "o"), Seq((0, 1, "e")))
+    val p3 = path(3)
+    assert(LocalEasy.importanceCount(vpat, g) == 3)
+    assert(LocalEasy.importanceCount(epat, g) == 2)
+    assert(LocalEasy.importanceCount(p3, g) == 1)
+    assert(math.abs(LocalEasy.importanceRelative(epat, g) - 2.0 / 3) < 1e-12)
+    // miner with AbsImportant(2): edge pattern kept (2 components), p3 not
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val v = (0 to 5).map(i => (1L, i.toLong, "o")).toDF("graph_id", "vid", "vlabel")
+    val e = Seq((1L, 0L, 1L, "e"), (1L, 0L, 2L, "e"), (1L, 3L, 4L, "e"))
+      .toDF("graph_id", "src", "dst", "elabel")
+    val mined = graft.mining.FrequentSubtrees.mine(spark, v, e, threshold = 1, maxPatternSize = 3,
+      operator = graft.mining.FrequentSubtrees.AbsImportant(2))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(mined == Set((1, "o", 1L), (2, "o(e o)", 1L))) // p3 in only 1 component
+    val minedRel = graft.mining.FrequentSubtrees.mine(spark, v, e, threshold = 1, maxPatternSize = 3,
+      operator = graft.mining.FrequentSubtrees.RelImportant(0.5))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(minedRel == Set((1, "o", 1L), (2, "o(e o)", 1L))) // 2/3 >= 0.5, 1/3 < 0.5
+  }
+
   test("miner with local-easy/HOPS operators on a cyclic DB (brute-force cross-check)") {
     // exact subtree operator refuses cyclic transactions; the local-easy
     // operator mines them
