@@ -27,6 +27,68 @@ object Multimodal {
     }
   }
 
+  /** GRAFT-RAW: a real (if minimal) raster container so the decode /
+    * resize / frame-sample path exercises genuine byte-level parsing and
+    * pixel math rather than only schema plumbing. Layout (big-endian):
+    * magic 'G','R', uint16 width, uint16 height, uint16 nFrames, then
+    * nFrames × (width*height) bytes of 8-bit grayscale pixels. External
+    * codecs (JPEG/PNG/...) stay behind [[StubCodec]] — their libraries do
+    * not ship in this container — but everything below is real math. */
+  object Raster {
+    final case class Decoded(width: Int, height: Int, nFrames: Int, frames: Array[Array[Byte]])
+
+    def encode(width: Int, height: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+      require(frames.forall(_.length == width * height), "frame size mismatch")
+      val out = new Array[Byte](8 + frames.length * width * height)
+      out(0) = 'G'; out(1) = 'R'
+      out(2) = (width >> 8).toByte; out(3) = width.toByte
+      out(4) = (height >> 8).toByte; out(5) = height.toByte
+      out(6) = (frames.length >> 8).toByte; out(7) = frames.length.toByte
+      var off = 8
+      for (f <- frames) { System.arraycopy(f, 0, out, off, f.length); off += f.length }
+      out
+    }
+
+    def decode(payload: Array[Byte]): Option[Decoded] = {
+      if (payload.length < 8 || payload(0) != 'G' || payload(1) != 'R') return None
+      def u16(i: Int) = ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
+      val (w, h, n) = (u16(2), u16(4), u16(6))
+      if (payload.length != 8 + n * w * h) return None
+      Some(Decoded(w, h, n,
+        Array.tabulate(n)(f => payload.slice(8 + f * w * h, 8 + (f + 1) * w * h))))
+    }
+
+    /** Mean-pool resize by factor f (the canonical training-data image
+      * preprocessing op): output pixel (r, c) = mean of the input block
+      * rows [r*f, min((r+1)*f, h)) × cols [c*f, min((c+1)*f, w)) — ragged
+      * edge blocks average over their actual pixels. Returns
+      * (outWidth, outHeight, row-major block means). */
+    def meanPool(frame: Array[Byte], w: Int, h: Int, f: Int): (Int, Int, Array[Double]) = {
+      val ow = (w + f - 1) / f
+      val oh = (h + f - 1) / f
+      val out = new Array[Double](ow * oh)
+      var br = 0
+      while (br < oh) {
+        var bc = 0
+        while (bc < ow) {
+          var sum = 0L; var cnt = 0
+          var r = br * f
+          while (r < math.min((br + 1) * f, h)) {
+            var c = bc * f
+            while (c < math.min((bc + 1) * f, w)) {
+              sum += (frame(r * w + c) & 0xff); cnt += 1; c += 1
+            }
+            r += 1
+          }
+          out(br * ow + bc) = sum.toDouble / cnt
+          bc += 1
+        }
+        br += 1
+      }
+      (ow, oh, out)
+    }
+  }
+
   /** Attach a binary payload column (here: utf-8 of text, standing in for
     * fetched media bytes) — models the pages.html BINARY column shape. */
   def withBinaryPayload(docs: DataFrame, textCol: String): DataFrame =
