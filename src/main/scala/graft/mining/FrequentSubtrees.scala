@@ -125,20 +125,29 @@ object FrequentSubtrees {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- level 1: frequent vertex labels (getFrequentVertices) ----
+    // Round-3 change: the per-level pattern dictionary STAYS DISTRIBUTED —
+    // round 2 collected every level's patterns to the driver (mirroring the
+    // reference's in-memory SearchTree), which was the one driver-memory
+    // bottleneck at web scale. Only the frequent-EDGE extension alphabet is
+    // collected + broadcast (tiny by construction: |vertex labels|² × |edge
+    // labels| upper bound, and the reference holds exactly this in memory).
     val vertOcc = v.select("graph_id", "vlabel").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val freq1 = vertOcc.groupBy("vlabel").agg(count(lit(1)).as("support"))
       .where(col("support") >= threshold)
-      .as[(String, Long)].collect().toSeq
-    var results = freq1.map { case (l, s) => LevelResult(1, l, s) }
-    var patterns: Seq[Pattern] = freq1.map { case (l, _) => Pattern(Seq(l), Nil, l, "") }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var results: DataFrame = freq1
+      .select(lit(1).as("size"), col("vlabel").as("cstring"), col("support"))
+    var patternsDS: Dataset[Pattern] = freq1
+      .select("vlabel").as[String]
+      .map(l => Pattern(Seq(l), Nil, l, ""))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var nPatterns = patternsDS.count()
     var supportDS: Dataset[SupportPair] = vertOcc
-      .join(freq1.map(_._1).toDF("vlabel"), "vlabel")
+      .join(freq1.select("vlabel"), "vlabel")
       .select(col("vlabel").as("key"), col("graph_id").as("graphId"))
       .as[SupportPair].persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ---- frequent edge triples = the extension alphabet (getFrequentEdges);
-    //      tiny by construction, collected and broadcast like the reference
-    //      keeps them in memory for extension ----
+    // ---- frequent edge triples = the extension alphabet (getFrequentEdges) ----
     val freqEdges: Seq[(String, String, String)] = e
       .join(v.select(col("graph_id"), col("vid").as("src"), col("vlabel").as("sl")), Seq("graph_id", "src"))
       .join(v.select(col("graph_id"), col("vid").as("dst"), col("vlabel").as("dl")), Seq("graph_id", "dst"))
@@ -149,11 +158,12 @@ object FrequentSubtrees {
       .where(col("support") >= threshold)
       .select("la", "elabel", "lb").as[(String, String, String)].collect().toSeq
     val bcEdges = spark.sparkContext.broadcast(freqEdges)
+    val levelCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
     var level = 2
-    while (level <= maxPatternSize && patterns.nonEmpty) {
+    while (level <= maxPatternSize && nPatterns > 0) {
       // 1-2. extend every pattern at every compatible vertex; dedupe by key.
-      val candidates = spark.createDataset(patterns)
+      val candidates = patternsDS
         .flatMap { pat =>
           val exts = bcEdges.value
           val n = pat.vlabels.size
@@ -173,7 +183,7 @@ object FrequentSubtrees {
         .dropDuplicates("key")
 
       // 3. apriori: every leaf-deleted (k-1)-subtree key must be frequent.
-      val prevKeys = patterns.map(_.key).toDF("subKey")
+      val prevKeys = patternsDS.select(col("key").as("subKey"))
       val subKeys = candidates.flatMap { c =>
         val lt = toLTree(c.vlabels, c.edges)
         val deg = Array.fill(lt.n)(0)
@@ -190,6 +200,7 @@ object FrequentSubtrees {
         .join(prevKeys, Seq("subKey"), "left_anti")
         .select("key").distinct()
       val survivors = candidates.join(pruned, Seq("key"), "left_anti").as[Pattern]
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
       // 4. support: candidate x graph pairs from the parent's support set,
       //    embedding-checked in executors, HAVING count >= t.
@@ -218,25 +229,36 @@ object FrequentSubtrees {
         }
         .map { case ((_, _, key, gid), _) => SupportPair(key, gid) }
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val freqK = matched.groupBy("key").agg(count(lit(1)).as("support"))
+      val freqKeys = matched.groupBy("key").agg(count(lit(1)).as("support"))
         .where(col("support") >= threshold)
-        .as[(String, Long)].collect().toMap
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
-      val keptPatterns = survivors.collect().filter(p => freqK.contains(p.key)).toSeq
-      results ++= keptPatterns.map(p => LevelResult(level, p.key, freqK(p.key)))
+      results = results.union(
+        freqKeys.select(lit(level).as("size"), col("key").as("cstring"), col("support")))
       val oldSupport = supportDS
-      supportDS = matched.filter(sp => freqK.contains(sp.key)).persist(StorageLevel.MEMORY_AND_DISK)
-      supportDS.count()
+      val oldPatterns = patternsDS
+      // localCheckpoint truncates the per-level lineage growth (the same
+      // discipline as the PageRank/CC iteration loops)
+      patternsDS = survivors.join(freqKeys.select("key"), Seq("key"), "left_semi")
+        .as[Pattern].localCheckpoint(true)
+      nPatterns = patternsDS.count()
+      supportDS = matched.join(freqKeys.select("key"), Seq("key"), "left_semi")
+        .as[SupportPair].localCheckpoint(true)
       oldSupport.unpersist(false)
+      oldPatterns.unpersist(false)
       matched.unpersist(false)
-      patterns = keptPatterns
+      survivors.unpersist(false)
+      levelCaches += freqKeys // feeds `results`; released after materialization
       level += 1
     }
 
     graphs.unpersist(false)
     vertOcc.unpersist(false)
-    spark.createDataset(results).toDF("size", "cstring", "support")
-      .orderBy("size", "cstring")
+    val out = results.orderBy("size", "cstring").persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize before the per-level caches are dropped
+    freq1.unpersist(false)
+    levelCaches.foreach(_.unpersist(false))
+    out
   }
 
   // ------------------------------------------------------------------ lwgr
@@ -342,14 +364,21 @@ object FrequentSubtrees {
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Distributed per-level pattern dictionary — same round-3 discipline as
+    // [[mine]] (only the directed extension alphabet is collected).
     val vertOcc = v.select("graph_id", "vlabel").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val freq1 = vertOcc.groupBy("vlabel").agg(count(lit(1)).as("support"))
       .where(col("support") >= threshold)
-      .as[(String, Long)].collect().toSeq
-    var results = freq1.map { case (l, s) => LevelResult(1, l, s) }
-    var patterns: Seq[Pattern] = freq1.map { case (l, _) => Pattern(Seq(l), Nil, l, "") }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var results: DataFrame = freq1
+      .select(lit(1).as("size"), col("vlabel").as("cstring"), col("support"))
+    var patternsDS: Dataset[Pattern] = freq1
+      .select("vlabel").as[String]
+      .map(l => Pattern(Seq(l), Nil, l, ""))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var nPatterns = patternsDS.count()
     var supportDS: Dataset[SupportPair] = vertOcc
-      .join(freq1.map(_._1).toDF("vlabel"), "vlabel")
+      .join(freq1.select("vlabel"), "vlabel")
       .select(col("vlabel").as("key"), col("graph_id").as("graphId"))
       .as[SupportPair].persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -363,10 +392,11 @@ object FrequentSubtrees {
       .where(col("support") >= threshold)
       .select("sl", "elabel", "dl").as[(String, String, String)].collect().toSeq
     val bcEdges = spark.sparkContext.broadcast(freqEdges)
+    val levelCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
     var level = 2
-    while (level <= maxPatternSize && patterns.nonEmpty) {
-      val candidates = spark.createDataset(patterns)
+    while (level <= maxPatternSize && nPatterns > 0) {
+      val candidates = patternsDS
         .flatMap { pat =>
           val n = pat.vlabels.size
           for {
@@ -382,7 +412,7 @@ object FrequentSubtrees {
         .dropDuplicates("key")
 
       // apriori over non-root leaf deletions
-      val prevKeys = patterns.map(_.key).toDF("subKey")
+      val prevKeys = patternsDS.select(col("key").as("subKey"))
       val subKeys = candidates.flatMap { c =>
         val n = c.vlabels.size
         val deg = Array.fill(n)(0)
@@ -399,6 +429,7 @@ object FrequentSubtrees {
         .join(prevKeys, Seq("subKey"), "left_anti")
         .select("key").distinct()
       val survivors = candidates.join(pruned, Seq("key"), "left_anti").as[Pattern]
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
       val pairs = survivors
         .joinWith(supportDS, survivors("parentKey") === supportDS("key"))
@@ -410,24 +441,33 @@ object FrequentSubtrees {
         .filter { case ((vl, es, _, _), g) => embedsRooted(vl, es, g) }
         .map { case ((_, _, key, gid), _) => SupportPair(key, gid) }
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val freqK = matched.groupBy("key").agg(count(lit(1)).as("support"))
+      val freqKeys = matched.groupBy("key").agg(count(lit(1)).as("support"))
         .where(col("support") >= threshold)
-        .as[(String, Long)].collect().toMap
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
-      val keptPatterns = survivors.collect().filter(p => freqK.contains(p.key)).toSeq
-      results ++= keptPatterns.map(p => LevelResult(level, p.key, freqK(p.key)))
+      results = results.union(
+        freqKeys.select(lit(level).as("size"), col("key").as("cstring"), col("support")))
       val oldSupport = supportDS
-      supportDS = matched.filter(sp => freqK.contains(sp.key)).persist(StorageLevel.MEMORY_AND_DISK)
-      supportDS.count()
+      val oldPatterns = patternsDS
+      patternsDS = survivors.join(freqKeys.select("key"), Seq("key"), "left_semi")
+        .as[Pattern].localCheckpoint(true)
+      nPatterns = patternsDS.count()
+      supportDS = matched.join(freqKeys.select("key"), Seq("key"), "left_semi")
+        .as[SupportPair].localCheckpoint(true)
       oldSupport.unpersist(false)
+      oldPatterns.unpersist(false)
       matched.unpersist(false)
-      patterns = keptPatterns
+      survivors.unpersist(false)
+      levelCaches += freqKeys
       level += 1
     }
 
     graphs.unpersist(false)
     vertOcc.unpersist(false)
-    spark.createDataset(results).toDF("size", "cstring", "support")
-      .orderBy("size", "cstring")
+    val out = results.orderBy("size", "cstring").persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize before the per-level caches are dropped
+    freq1.unpersist(false)
+    levelCaches.foreach(_.unpersist(false))
+    out
   }
 }
