@@ -72,4 +72,50 @@ object EventStreams {
     * within the watermark horizon (built-in state store, no custom state). */
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates(keyCols :+ "ts")
+
+  final case class FunnelHit(user_id: Long, completed_at: Timestamp)
+
+  /** Streaming funnel: emit one row per user each time the ordered step
+    * sequence (`steps`) completes within `windowMinutes` of its first step
+    * (the unbounded-stream form of the batch "e_funnel" query: stateful
+    * ordered pattern detection). State = (next step index, funnel start);
+    * an expired window resets to a fresh attempt — the current event may
+    * itself restart the funnel — and state is EVICTED via event-time
+    * timeout once the watermark passes the window end, so state tracks
+    * active users only. */
+  def funnel(events: Dataset[Event], steps: Seq[String], windowMinutes: Int): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty)
+    val windowMs = windowMinutes.toLong * 60 * 1000
+    events
+      .withWatermark("ts", s"$windowMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Int, Long), FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[(Int, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (step, startMs) = state.getOption.getOrElse((0, Long.MinValue))
+            val hits = scala.collection.mutable.ArrayBuffer[FunnelHit]()
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              if (step > 0 && t - startMs > windowMs) { step = 0; startMs = Long.MinValue }
+              if (e.event_type == steps(step)) {
+                if (step == 0) startMs = t
+                step += 1
+                if (step == steps.size) { hits += FunnelHit(uid, e.ts); step = 0; startMs = Long.MinValue }
+              }
+            }
+            if (step > 0) {
+              state.update((step, startMs))
+              val wm = try state.getCurrentWatermarkMs()
+                catch { case _: UnsupportedOperationException => -1L }
+              if (wm >= 0)
+                try state.setTimeoutTimestamp(math.max(startMs + windowMs, wm + 1))
+                catch { case _: UnsupportedOperationException => () }
+            } else if (state.exists) state.remove()
+            hits.iterator
+          }
+      }
+  }
 }
