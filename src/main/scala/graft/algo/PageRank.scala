@@ -125,7 +125,77 @@ object PageRank {
     val numEdges = adj.agg(coalesce(sum(size(col("nbrs"))), lit(0))).head().getLong(0)
     val n = verts.count()
     e.unpersist(false)
+    iterate(spark, adj, verts, n, numEdges, damping, tol, maxIter, p, checkpoint,
+      onIterationsStart, onIterationEnd, setupT0)
+  }
+
+  /** Write the static iteration structures (CSR adjacency + vertex/dangling
+    * table) to `path`/adj and `path`/verts once, so repeated benchmark or
+    * restart runs skip the canonicalize/dedupe/aggregate setup — the
+    * "build once, iterate many" shape of a production link-graph store
+    * (at scale: the Iceberg-materialized adjacency of SURVEY §4). */
+  def writeStatic(spark: SparkSession, edges: DataFrame, path: String): Unit = {
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "20000000")
+    val e = GraphOps.canonicalEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = e.groupBy("src")
+      .agg(collect_list(col("dst")).as("nbrs"))
+      .select(col("src"), col("nbrs"), size(col("nbrs")).cast("double").as("odeg"))
+    adj.write.mode("overwrite").parquet(s"$path/adj")
+    val adjKeys = spark.read.parquet(s"$path/adj").select(col("src").as("vid"), lit(true).as("hasOut"))
+    GraphOps.vertices(e)
+      .join(adjKeys, Seq("vid"), "left")
+      .select(col("vid"), col("hasOut").isNull.as("dangling"))
+      .write.mode("overwrite").parquet(s"$path/verts")
+    e.unpersist(false)
+  }
+
+  /** Run the iteration loop from [[writeStatic]] output: read + co-partition
+    * + persist the two static tables, then the identical per-iteration work
+    * as [[run]] (the measured protocol is unchanged — only the one-time
+    * setup is cheaper). */
+  def runFromStatic(
+      spark: SparkSession,
+      path: String,
+      damping: Double = 0.85,
+      tol: Double = 1e-6,
+      maxIter: Int = 200,
+      numPartitions: Option[Int] = None,
+      checkpoint: Option[IterationCheckpoint] = None,
+      onIterationsStart: () => Unit = () => (),
+      onIterationEnd: Int => Unit = _ => ()): Result = {
+    val setupT0 = System.nanoTime()
+    val p = numPartitions.getOrElse(GraphOps.defaultParallelism(spark))
+    val adj = spark.read.parquet(s"$path/adj")
+      .repartition(p, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = spark.read.parquet(s"$path/verts")
+      .repartition(p, col("vid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val numEdges = adj.agg(coalesce(sum(size(col("nbrs"))), lit(0))).head().getLong(0)
+    val n = verts.count()
+    iterate(spark, adj, verts, n, numEdges, damping, tol, maxIter, p, checkpoint,
+      onIterationsStart, onIterationEnd, setupT0)
+  }
+
+  /** The shared damped power-iteration loop over pre-persisted, co-partitioned
+    * `adj`(src, nbrs, odeg) and `verts`(vid, dangling). */
+  private def iterate(
+      spark: SparkSession,
+      adj: DataFrame,
+      verts: DataFrame,
+      n: Long,
+      numEdges: Long,
+      damping: Double,
+      tol: Double,
+      maxIter: Int,
+      p: Int,
+      checkpoint: Option[IterationCheckpoint],
+      onIterationsStart: () => Unit,
+      onIterationEnd: Int => Unit,
+      setupT0: Long): Result = {
     if (n == 0) {
+      adj.unpersist(false)
+      verts.unpersist(false)
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(

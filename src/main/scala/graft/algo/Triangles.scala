@@ -2,7 +2,6 @@ package graft.algo
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.graph.GraphOps
 
 /** Triangle counting via degree-oriented sorted-adjacency intersection
@@ -31,21 +30,24 @@ object Triangles {
       .select(col("src"), col("dst"))
   }
 
-  /** All triangles as canonical (a, b, c) rows (each exactly once). */
+  /** All triangles as canonical (a, b, c) rows (each exactly once).
+    *
+    * No persist: the oriented edge list is DERIVED from the adjacency
+    * aggregate by explode, so the aggregate subtree appears exactly twice
+    * with an identical child exchange and Catalyst's ReuseExchange computes
+    * the upstream once (round 3 persisted `oriented`/`adj` here and never
+    * unpersisted them — in a shared session the leaked blocks evicted other
+    * queries' caches; a lazily returned frame cannot own cache cleanup). */
   def enumerate(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val oriented = orient(spark, edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val adj = oriented
+    val adj = orient(spark, edges)
       .groupBy(col("src"))
       .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // For each oriented edge (u,v): triangles through it are the common
     // oriented-out-neighbors of u and v.
-    val tri = oriented
-      .join(adj.select(col("src"), col("nbrs").as("unbrs")), "src")
+    adj.select(col("src"), explode(col("nbrs")).as("dst"), col("nbrs").as("unbrs"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("vnbrs")), "dst")
       .select(col("src").as("a"), col("dst").as("b"),
         explode(array_intersect(col("unbrs"), col("vnbrs"))).as("c"))
-    tri
   }
 
   /** Global triangle count (fixture goldens: K_n -> C(n,3), trees/paths -> 0). */
@@ -58,10 +60,10 @@ object Triangles {
     * matching the reference's per-center counting divided by the 3x
     * multiplicity (reference `executables/patternExtractor.c:274-295`). */
   def perVertex(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val tri = enumerate(spark, edges)
-    val counts = tri.select(col("a").as("vid"))
-      .union(tri.select(col("b").as("vid")))
-      .union(tri.select(col("c").as("vid")))
+    // one pass over the (expensive) triangle enumeration: explode the three
+    // corners in place instead of unioning three scans of it
+    val counts = enumerate(spark, edges)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vid"))
       .groupBy("vid")
       .agg(count(lit(1)).as("triangles"))
     GraphOps.vertices(GraphOps.canonicalEdges(edges))

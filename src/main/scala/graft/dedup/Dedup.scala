@@ -41,8 +41,43 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing at least one band (band = hash of
-    * `rowsPerBand` consecutive minhashes). Returns (a, b, n_shared_bands). */
+    * `rowsPerBand` consecutive minhashes). Returns (a, b, n_shared_bands).
+    *
+    * A band bucket of f documents inherently emits f²/2 candidates (true
+    * duplicate clusters ARE quadratic in their own size), but a degenerate
+    * key — e.g. every empty document collapsing to one signature — must not
+    * be allowed to quietly explode the join: buckets larger than
+    * `maxBucketSize` are DROPPED before the self-join (the same groupBy +
+    * filter discipline as [[ngramJaccard]]'s `maxShingleDf`), making the
+    * worst-case candidate volume an explicit `numBands * n/maxBucketSize *
+    * maxBucketSize²` bound. Audit what a cap dropped with
+    * [[oversizedLshBuckets]] — same inputs, returns the dropped buckets. */
   def lshCandidates(docs: DataFrame, keyCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int, maxBucketSize: Long = 100000L): DataFrame = {
+    val exploded = lshBandRows(docs, keyCol, textCol, numHashes, rowsPerBand)
+    val small = exploded.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+      .where(col("bn") <= maxBucketSize).select("band", "bh")
+    val kept = exploded.join(small, Seq("band", "bh"), "left_semi")
+    val l = kept.as("l")
+    val r = kept.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.key") < col("r.key"))
+      .groupBy(col("l.key").as("a"), col("r.key").as("b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** The band buckets [[lshCandidates]]'s cap would drop at `maxBucketSize`:
+    * (band, bh, bn) with bn > cap — the explicit audit surface for the
+    * silent-cap rule (run it when a capped result needs accounting). */
+  def oversizedLshBuckets(docs: DataFrame, keyCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int, maxBucketSize: Long): DataFrame =
+    lshBandRows(docs, keyCol, textCol, numHashes, rowsPerBand)
+      .groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+      .where(col("bn") > maxBucketSize)
+
+  /** (key, band, bh) rows — the shared banding of [[lshCandidates]] and
+    * [[oversizedLshBuckets]]. */
+  private def lshBandRows(docs: DataFrame, keyCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int): DataFrame = {
     val sig = minHashSignatures(docs, keyCol, textCol, numHashes)
     val numBands = numHashes / rowsPerBand
@@ -50,14 +85,8 @@ object Dedup {
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
     }
-    val exploded = sig.select(col("key"), explode(array(bands: _*)).as("bb"))
+    sig.select(col("key"), explode(array(bands: _*)).as("bb"))
       .select(col("key"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val l = exploded.as("l")
-    val r = exploded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-        col("l.key") < col("r.key"))
-      .groupBy(col("l.key").as("a"), col("r.key").as("b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
   }
 
   /** Token-k-shingle Jaccard for every pair sharing >= 1 surviving shingle.

@@ -64,11 +64,18 @@ object GraphOps {
     * bounded by the orientation argument, and the output itself is the only
     * triangle-sized thing materialized. */
   def egoNets(edges: DataFrame, disk: Boolean = false): DataFrame = {
+    // one pass over the triangle enumeration: emit the 3 center-rotations of
+    // each triangle with a single in-place explode (three unioned scans of
+    // the enumeration would re-run its intersection joins three times)
     val tri = graft.algo.Triangles.enumerate(edges.sparkSession, edges)
-    val ego = tri.select(col("a").as("center"), least(col("b"), col("c")).as("src"),
-        greatest(col("b"), col("c")).as("dst"))
-      .union(tri.select(col("b"), least(col("a"), col("c")), greatest(col("a"), col("c"))))
-      .union(tri.select(col("c"), least(col("a"), col("b")), greatest(col("a"), col("b"))))
+    val ego = tri.select(explode(array(
+        struct(col("a").as("center"), least(col("b"), col("c")).as("src"),
+          greatest(col("b"), col("c")).as("dst")),
+        struct(col("b").as("center"), least(col("a"), col("c")).as("src"),
+          greatest(col("a"), col("c")).as("dst")),
+        struct(col("c").as("center"), least(col("a"), col("b")).as("src"),
+          greatest(col("a"), col("b")).as("dst")))).as("r"))
+      .select(col("r.center").as("center"), col("r.src").as("src"), col("r.dst").as("dst"))
     if (!disk) ego
     else {
       val sym = symmetrize(edges)

@@ -53,7 +53,10 @@ object Multimodal {
       if (payload.length < 8 || payload(0) != 'G' || payload(1) != 'R') return None
       def u16(i: Int) = ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
       val (w, h, n) = (u16(2), u16(4), u16(6))
-      if (payload.length != 8 + n * w * h) return None
+      // size check in Long: the three uint16 header fields multiply up to
+      // ~2.8e14, far past Int.MaxValue — an Int product would wrap and let a
+      // corrupt header slip past the check into a throwing slice (ADVICE r3)
+      if (payload.length.toLong != 8L + n.toLong * w * h) return None
       Some(Decoded(w, h, n,
         Array.tabulate(n)(f => payload.slice(8 + f * w * h, 8 + (f + 1) * w * h))))
     }

@@ -623,9 +623,15 @@ object MiningQueries {
          |SELECT gid AS graph_id, 3::BIGINT AS n_samples, TRUE AS all_spanning
          |FROM cust ORDER BY graph_id""".stripMargin,
 
+    // The CASE mirrors the engine's 1e12 report bound (countSpanningTrees
+    // returns -1 past it; 3^25 < 1e12 < 3^26) so the coupling is explicit
+    // rather than resting on the TPC-H per-customer order-count ceiling,
+    // and power() stays within double-exact range (ADVICE r3).
     "f_spanning_trees" ->
       s"""WITH cust AS ($custSql)
-         |SELECT gid AS graph_id, CAST(round(power(3, n // 3), 0) AS BIGINT) AS n_spanning
+         |SELECT gid AS graph_id,
+         |  (CASE WHEN n // 3 >= 26 THEN -1
+         |        ELSE CAST(round(power(3, n // 3), 0) AS BIGINT) END) AS n_spanning
          |FROM cust ORDER BY graph_id""".stripMargin,
 
     "f_tpk_patterns" ->

@@ -48,7 +48,8 @@ object SimilarityQueries {
     // quantize the corpus into 16 coarse cells, then per-cell top-k
     "s_cosine_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val buckets = Similarity.hyperplaneBuckets(e, "vec_id", "embedding", bucketBits = 4, seed = Seed)
+      val buckets = Similarity.hyperplaneBuckets(e, "vec_id", "embedding", bucketBits = 4,
+        seed = Seed, dim = Dim)
       val withBucket = e.join(buckets.withColumnRenamed("id", "vec_id"), "vec_id")
       Similarity.bucketedTopK(withBucket, "vec_id", "embedding", "bucket",
           col("vec_id") < 10, k = 3)
@@ -61,7 +62,7 @@ object SimilarityQueries {
     // (8 bands x 2 bits) then cosine-verified — no O(n^2) join
     "s_near_dup" -> ((s, dir) => {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.5, nBits = 16, nBands = 8, seed = Seed)
+          threshold = 0.5, nBits = 16, nBands = 8, seed = Seed, dim = Dim)
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
           round(col("sim"), 6).as("sim"))
         .orderBy("a", "b")

@@ -116,9 +116,9 @@ object Similarity {
     * seeded, data-independent analogue of k-means centroids, reproducible in
     * plain SQL). Output: (id, bucket). */
   def hyperplaneBuckets(vectors: DataFrame, idCol: String, vecCol: String,
-      bucketBits: Int, seed: Long): DataFrame = {
-    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
-    val bits = signBits(col(vecCol), hyperplaneMatrix(bucketBits, dim, seed))
+      bucketBits: Int, seed: Long, dim: Int = -1): DataFrame = {
+    val d = resolveDim(vectors, vecCol, dim)
+    val bits = signBits(col(vecCol), hyperplaneMatrix(bucketBits, d, seed))
     val bucket = bits.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
     vectors.select(col(idCol).cast("long").as("id"), bucket.cast("long").as("bucket"))
   }
@@ -132,18 +132,27 @@ object Similarity {
     * (round-2's scale-killer); recall < 1 by LSH design, tunable with
     * nBits/nBands. */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      nBits: Int = 16, nBands: Int = 8, seed: Long = 2027L): DataFrame = {
+      nBits: Int = 16, nBands: Int = 8, seed: Long = 2027L, dim: Int = -1,
+      maxBucketSize: Long = 100000L): DataFrame = {
     require(nBits % nBands == 0, "nBits must be a multiple of nBands")
-    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
-    val bits = signBits(col(vecCol), hyperplaneMatrix(nBits, dim, seed))
+    val d = resolveDim(vectors, vecCol, dim)
+    val bits = signBits(col(vecCol), hyperplaneMatrix(nBits, d, seed))
     val rpb = nBits / nBands
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         (0 until rpb).map(r => bits(b * rpb + r) * lit(1 << r)).reduce(_ + _).as("bkey"))
     }
-    val bandRows = vectors
+    val bandRows0 = vectors
       .select(col(idCol).cast("long").as("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // bucket-size cap: a degenerate band key shared by f vectors would make
+    // one bucket an f² self-join; drop buckets past the cap BEFORE joining
+    // (same discipline as Dedup.lshCandidates — the explicit bound the
+    // silent-cap rule demands; recall loss only on clusters that already
+    // exceeded the cap in EVERY band)
+    val small = bandRows0.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+      .where(col("bn") <= maxBucketSize).select("band", "bkey")
+    val bandRows = bandRows0.join(small, Seq("band", "bkey"), "left_semi")
     val cand = bandRows.as("l").join(bandRows.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.id") < col("r.id"))
@@ -157,6 +166,13 @@ object Similarity {
         (dotCast(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  /** Vector dimension: the caller-supplied value when >= 0, else a one-row
+    * probe job. Operators take `dim` explicitly so steady-state pipelines
+    * (dim is static in any real embedding table) never pay the probe
+    * (ADVICE r3: one extra tiny job per call). */
+  private def resolveDim(vectors: DataFrame, vecCol: String, dim: Int): Int =
+    if (dim >= 0) dim else vectors.select(size(col(vecCol))).head().getInt(0)
 
   /** (idAs, vecAs, nrmAs): id cast long, raw float vec, double norm —
     * the per-row precompute shared by the pairwise operators. */

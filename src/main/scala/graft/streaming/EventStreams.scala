@@ -30,7 +30,16 @@ object EventStreams {
     * form with timeout-driven state EVICTION: when the event-time watermark
     * passes lastTs + gap, the open session is closed, emitted, and the
     * per-user state removed — without this (round-2's NoTimeout) state grows
-    * with the all-time user count instead of the active-user count. */
+    * with the all-time user count instead of the active-user count.
+    *
+    * Counter semantics (ADVICE r3): `sessions_closed` counts sessions closed
+    * within the user's current ACTIVE PERIOD only — eviction removes the
+    * per-user state, so a user returning after an eviction restarts the
+    * counter at 0. It is NOT the all-time per-user total the batch
+    * `e_sessionize` query produces; bounded state and an unbounded per-user
+    * counter are mutually exclusive on an unbounded stream. Downstream
+    * consumers wanting all-time counts should sum the timeout-emitted
+    * updates (each closed session is emitted exactly once across updates). */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes.toLong * 60 * 1000

@@ -211,7 +211,14 @@ object TreeKernels {
     * theorem per biconnected block (counts multiply across blocks; bridges
     * contribute factor 1), with an exact fraction-free BigInt Bareiss
     * determinant — polynomial regardless of the count, so the bound only
-    * caps the REPORTED value, never the work. Nothing is materialized. */
+    * caps the REPORTED value, never the work. Nothing is materialized.
+    *
+    * Convention changes vs the round-2 listing-based implementation
+    * (ADVICE r3, deliberate and kept): an EMPTY edge list counts 1 (the
+    * empty tree — the matrix-tree convention det of the 0x0 minor; the old
+    * listing returned 0), and the bound is INCLUSIVE (count == maxBound is
+    * reported, only count > maxBound returns None; the old boundary
+    * excluded equality). */
   def countSpanningTrees(edges: Seq[Edge], maxBound: Long = 100000L): Option[Long] = {
     val es = edges.filter(e => e._1 != e._2)
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct

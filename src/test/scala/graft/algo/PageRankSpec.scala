@@ -85,4 +85,19 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     val m = ck.lineage.last
     assert(m.partitions.nonEmpty && m.rows == a.size)
   }
+
+  test("writeStatic + runFromStatic reproduces run() exactly (same fixed-point)") {
+    val e = Generators.barabasiAlbert(60, 2, seed = 33L)
+    val df = Generators.edgesDF(spark, e)
+    val dir = java.nio.file.Files.createTempDirectory("graft-static").toString
+    PageRank.writeStatic(spark, df, dir)
+    val fromStatic = PageRank.runFromStatic(spark, dir)
+    val direct = PageRank.run(spark, df)
+    assert(fromStatic.numVertices == direct.numVertices &&
+      fromStatic.numEdges == direct.numEdges)
+    val a = fromStatic.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = direct.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet)
+    for ((v, r) <- b) assert(math.abs(a(v) - r) < 1e-12, s"static-path drift at $v")
+  }
 }

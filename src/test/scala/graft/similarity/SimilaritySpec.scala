@@ -45,4 +45,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((1L, 2L)) && got.contains((3L, 4L)) && !got.contains((1L, 5L)))
   }
+
+  test("near-dup explicit dim matches the probed default; bucket cap bounds the join") {
+    val probed = Similarity.nearDupPairs(data, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Similarity.nearDupPairs(data, "vec_id", "embedding", 0.95, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(explicit == probed)
+    // cap of 1 drops every multi-member bucket -> no candidates at all
+    val capped = Similarity.nearDupPairs(data, "vec_id", "embedding", 0.95,
+      dim = 3, maxBucketSize = 1L)
+    assert(capped.collect().isEmpty)
+  }
+
+  test("hyperplane buckets: explicit dim identical to probed") {
+    val a = Similarity.hyperplaneBuckets(data, "vec_id", "embedding", 4, 2027L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Similarity.hyperplaneBuckets(data, "vec_id", "embedding", 4, 2027L, dim = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }

@@ -62,6 +62,25 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("LSH bucket cap drops oversized buckets; audit surface reports them") {
+    // five identical docs: every band bucket they share has size 5
+    val d = docs((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"),
+      (4L, "a b c d e"), (5L, "a b c d e"), (6L, "z y x w v"), (7L, "z y x w v"))
+    val capped = Dedup.lshCandidates(d, "doc_id", "text", numHashes = 4, rowsPerBand = 2,
+      maxBucketSize = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the size-5 cluster is suppressed by the cap; the size-2 cluster survives
+    assert(!capped.exists { case (a, b) => a <= 5 && b <= 5 })
+    assert(capped.contains((6L, 7L)))
+    val dropped = Dedup.oversizedLshBuckets(d, "doc_id", "text", 4, 2, maxBucketSize = 2L)
+      .collect().map(_.getLong(2))
+    assert(dropped.nonEmpty && dropped.forall(_ == 5L))
+    // a cap above every bucket size is a no-op
+    val uncapped = Dedup.lshCandidates(d, "doc_id", "text", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 5L)) && uncapped.contains((6L, 7L)))
+  }
+
   test("ngram jaccard: exact overlap arithmetic") {
     val d = docs((1L, "a b c d"), (2L, "a b c e"), (3L, "p q r s"))
     val got = Dedup.ngramJaccard(d, "doc_id", "text", 3)
