@@ -57,9 +57,29 @@ object FrequentSubtrees {
   final case class AbsImportant(minComponents: Int) extends EmbeddingOp
   /** h in >= mu * (#components) components (reference `subtreeRelimpOperator`). */
   final case class RelImportant(mu: Double) extends EmbeddingOp
+  /** Sample-ONCE `ps` (reference help `levelwiseGraphMiningHelp.txt` "ps":
+    * "The spt-sampling takes place only once for each transaction graph at
+    * the beginning of the mining"; `lwm_initAndCollect.c` sampled-DB
+    * construction): k whole-graph spanning forests drawn per transaction
+    * BEFORE the level loop and stored with it; h counts when it is a
+    * subtree of one of them. Deterministic across levels, so — unlike
+    * [[LocalEasySampled]] resampling — the apriori property and the
+    * parent-support restriction are SOUND, exactly the ML'18/'19 design. */
+  final case class PsSampledOnce(k: Int, seed: Long) extends EmbeddingOp
+  /** Sample-ONCE `bps` (reference help "bps"): k local spanning trees per
+    * block-tree root drawn once per transaction; h counts when it embeds in
+    * some COMBINATION (one tree per root) — [[graft.trees.LocalEasy.bpsEmbeds]].
+    * Same apriori soundness as [[PsSampledOnce]], strictly higher recall
+    * (k^roots combinations vs k whole forests). */
+  final case class BpsSampledOnce(k: Int, seed: Long) extends EmbeddingOp
 
-  /** A transaction graph re-indexed to dense 0-based vertex ids. */
-  final case class TGraph(graphId: Long, vlabels: Seq[String], edges: Seq[(Int, Int, String)])
+  /** A transaction graph re-indexed to dense 0-based vertex ids.
+    * `psForests`/`bpsLocal` carry the ONCE-sampled structures of the
+    * sample-once operators (empty otherwise): ps = whole-graph spanning
+    * forests, bps = per-root local spanning trees. */
+  final case class TGraph(graphId: Long, vlabels: Seq[String], edges: Seq[(Int, Int, String)],
+      psForests: Seq[Seq[(Int, Int, String)]] = Nil,
+      bpsLocal: Seq[Seq[Seq[(Int, Int)]]] = Nil)
 
   /** A candidate/frequent pattern; vertices 0..n-1, key = canonical string. */
   final case class Pattern(vlabels: Seq[String], edges: Seq[(Int, Int, String)], key: String, parentKey: String)
@@ -70,26 +90,62 @@ object FrequentSubtrees {
   private def toLTree(vlabels: Seq[String], edges: Seq[(Int, Int, String)]): SubtreeIso.LTree =
     SubtreeIso.LTree(vlabels.toArray, edges.toArray)
 
-  /** Mine frequent subtrees of sizes 1..maxPatternSize with support >=
-    * threshold. verts: (graph_id, vid, vlabel); edges: (graph_id, src, dst,
-    * elabel). Returns (size, cstring, support) ordered by (size, cstring). */
-  def mine(spark: SparkSession, verts: DataFrame, edges: DataFrame,
-      threshold: Long, maxPatternSize: Int,
-      operator: EmbeddingOp = ExactSubtree): DataFrame = {
+  /** One embedding-operator evaluation (the `lwg -e` dispatch shared by the
+    * BFS and DFS strategies). */
+  private def embedsWith(operator: EmbeddingOp,
+      vl: Seq[String], es: Seq[(Int, Int, String)], g: TGraph): Boolean = {
+    val h = toLTree(vl, es)
+    lazy val gt = toLTree(g.vlabels, g.edges)
+    operator match {
+      case ExactSubtree => SubtreeIso.embeds(h, gt)
+      case LocalEasyExact => graft.trees.LocalEasy.treeIntoGraphEmbeds(h, gt)
+      case LocalEasySampled(k, seed) =>
+        graft.trees.LocalEasy.sampledLocalEmbeds(h, gt, k, seed ^ g.graphId)
+      case Hops(imp, seed) =>
+        graft.trees.LocalEasy.hopsEmbeds(h, gt, imp, seed ^ g.graphId)
+      case AbsImportant(t) =>
+        graft.trees.LocalEasy.importanceCount(h, gt) >= t
+      case RelImportant(mu) =>
+        graft.trees.LocalEasy.importanceRelative(h, gt) >= mu
+      case PsSampledOnce(_, _) =>
+        g.psForests.exists(f =>
+          SubtreeIso.embeds(h, SubtreeIso.LTree(g.vlabels.toArray, f.toArray)))
+      case BpsSampledOnce(_, _) =>
+        graft.trees.LocalEasy.bpsEmbeds(h, gt, g.bpsLocal)
+    }
+  }
+
+  /** All one-leaf extensions of a free-tree pattern over the frequent-edge
+    * alphabet (reference `treeEnumeration.c:157` extension step — every
+    * vertex, every compatible triple; a superset of the outer-shell
+    * extension, pruned downstream by dedupe/apriori/support). */
+  private def extensionsOf(pat: Pattern, exts: Seq[(String, String, String)]): Seq[Pattern] = {
+    val n = pat.vlabels.size
+    for {
+      u <- 0 until n
+      (la, el, lb) <- exts
+      leafLabel <- (if (pat.vlabels(u) == la && pat.vlabels(u) == lb) Seq(lb)
+                    else if (pat.vlabels(u) == la) Seq(lb)
+                    else if (pat.vlabels(u) == lb) Seq(la)
+                    else Seq.empty[String])
+    } yield {
+      val vl = pat.vlabels :+ leafLabel
+      val es = pat.edges :+ ((u, n, el))
+      Pattern(vl, es, SubtreeIso.canonicalString(toLTree(vl, es)), pat.key)
+    }
+  }
+
+  /** Transaction graphs re-indexed to dense vertex ids, with the
+    * forest-precondition checks and (for the sample-once operators) the
+    * once-per-transaction sampled structures. Persisted; caller unpersists. */
+  private def transactionGraphs(spark: SparkSession, v: DataFrame, e: DataFrame,
+      operator: EmbeddingOp): Dataset[TGraph] = {
     import spark.implicits._
     val requireForest = operator match {
       case ExactSubtree | AbsImportant(_) | RelImportant(_) => true // per-component isSubtree
       case _ => false
     }
-
-    val v = verts.select(col(verts.columns(0)).cast("long").as("graph_id"),
-      col(verts.columns(1)).cast("long").as("vid"), col(verts.columns(2)).cast("string").as("vlabel"))
-    val e = edges.select(col(edges.columns(0)).cast("long").as("graph_id"),
-      col(edges.columns(1)).cast("long").as("src"), col(edges.columns(2)).cast("long").as("dst"),
-      col(edges.columns(3)).cast("string").as("elabel"))
-
-    // ---- transaction graphs, re-indexed once (small per graph) ----
-    val graphs: Dataset[TGraph] = v.groupBy("graph_id")
+    v.groupBy("graph_id")
       .agg(collect_list(struct(col("vid"), col("vlabel"))).as("vs"))
       .join(e.groupBy("graph_id")
         .agg(collect_list(struct(col("src"), col("dst"), col("elabel"))).as("es")), Seq("graph_id"), "left")
@@ -120,9 +176,40 @@ object FrequentSubtrees {
               "(reference lwm_initAndCollect.c precondition) — use LocalEasyExact/" +
               "LocalEasySampled/Hops for cyclic DBs")
         }
-        g
+        // sample-once operators: draw the sampled structures HERE, once per
+        // transaction, and carry them with the graph through every level
+        // (the reference's sampled-DB construction in lwm_initAndCollect.c)
+        operator match {
+          case PsSampledOnce(k, seed) =>
+            val lt = toLTree(g.vlabels, g.edges)
+            g.copy(psForests = (0 until k).map { i =>
+              graft.trees.LocalEasy.wholeGraphSpanningForest(lt, seed ^ gid * 1000003L + i)
+                .edges.toSeq
+            })
+          case BpsSampledOnce(k, seed) =>
+            g.copy(bpsLocal =
+              graft.trees.LocalEasy.bpsLocalTrees(toLTree(g.vlabels, g.edges), k, seed ^ gid))
+          case _ => g
+        }
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Mine frequent subtrees of sizes 1..maxPatternSize with support >=
+    * threshold. verts: (graph_id, vid, vlabel); edges: (graph_id, src, dst,
+    * elabel). Returns (size, cstring, support) ordered by (size, cstring). */
+  def mine(spark: SparkSession, verts: DataFrame, edges: DataFrame,
+      threshold: Long, maxPatternSize: Int,
+      operator: EmbeddingOp = ExactSubtree): DataFrame = {
+    import spark.implicits._
+    val v = verts.select(col(verts.columns(0)).cast("long").as("graph_id"),
+      col(verts.columns(1)).cast("long").as("vid"), col(verts.columns(2)).cast("string").as("vlabel"))
+    val e = edges.select(col(edges.columns(0)).cast("long").as("graph_id"),
+      col(edges.columns(1)).cast("long").as("src"), col(edges.columns(2)).cast("long").as("dst"),
+      col(edges.columns(3)).cast("string").as("elabel"))
+
+    // ---- transaction graphs, re-indexed once (small per graph) ----
+    val graphs: Dataset[TGraph] = transactionGraphs(spark, v, e, operator)
 
     // ---- level 1: frequent vertex labels (getFrequentVertices) ----
     // Round-3 change: the per-level pattern dictionary STAYS DISTRIBUTED —
@@ -164,22 +251,7 @@ object FrequentSubtrees {
     while (level <= maxPatternSize && nPatterns > 0) {
       // 1-2. extend every pattern at every compatible vertex; dedupe by key.
       val candidates = patternsDS
-        .flatMap { pat =>
-          val exts = bcEdges.value
-          val n = pat.vlabels.size
-          for {
-            u <- 0 until n
-            (la, el, lb) <- exts
-            leafLabel <- (if (pat.vlabels(u) == la && pat.vlabels(u) == lb) Seq(lb)
-                          else if (pat.vlabels(u) == la) Seq(lb)
-                          else if (pat.vlabels(u) == lb) Seq(la)
-                          else Seq.empty[String])
-          } yield {
-            val vl = pat.vlabels :+ leafLabel
-            val es = pat.edges :+ ((u, n, el))
-            Pattern(vl, es, SubtreeIso.canonicalString(toLTree(vl, es)), pat.key)
-          }
-        }
+        .flatMap(pat => extensionsOf(pat, bcEdges.value))
         .dropDuplicates("key")
 
       // 3. apriori: every leaf-deleted (k-1)-subtree key must be frequent.
@@ -211,22 +283,7 @@ object FrequentSubtrees {
       val matched = pairs
         .joinWith(graphs, pairs("graphId") === graphs("graphId"))
         .as[((Seq[String], Seq[(Int, Int, String)], String, Long), TGraph)]
-        .filter { case ((vl, es, _, _), g) =>
-          val h = toLTree(vl, es)
-          val gt = toLTree(g.vlabels, g.edges)
-          operator match {
-            case ExactSubtree => SubtreeIso.embeds(h, gt)
-            case LocalEasyExact => graft.trees.LocalEasy.treeIntoGraphEmbeds(h, gt)
-            case LocalEasySampled(k, seed) =>
-              graft.trees.LocalEasy.sampledLocalEmbeds(h, gt, k, seed ^ g.graphId)
-            case Hops(imp, seed) =>
-              graft.trees.LocalEasy.hopsEmbeds(h, gt, imp, seed ^ g.graphId)
-            case AbsImportant(t) =>
-              graft.trees.LocalEasy.importanceCount(h, gt) >= t
-            case RelImportant(mu) =>
-              graft.trees.LocalEasy.importanceRelative(h, gt) >= mu
-          }
-        }
+        .filter { case ((vl, es, _, _), g) => embedsWith(operator, vl, es, g) }
         .map { case ((_, _, key, gid), _) => SupportPair(key, gid) }
         .persist(StorageLevel.MEMORY_AND_DISK)
       val freqKeys = matched.groupBy("key").agg(count(lit(1)).as("support"))
@@ -469,5 +526,160 @@ object FrequentSubtrees {
     freq1.unpersist(false)
     levelCaches.foreach(_.unpersist(false))
     out
+  }
+
+  // -------------------------------------------------------- treeEnumeration
+
+  /** Enumerate ALL free trees up to isomorphism buildable from the DB's
+    * frequent vertex labels and frequent edge triples, sizes
+    * 1..maxPatternSize — the reference's `treeEnumeration` operator
+    * (help `levelwiseGraphMiningHelp.txt` "STRANGE" section: "enumerate all
+    * trees up to isomorphism ... from frequent vertices and edges";
+    * `treeEnumeration.c` extension + searchTree dedupe). Exactly [[mine]]'s
+    * candidate generator run with an always-true embedding operator: no
+    * support counting, no apriori prune (every leaf-deletion of a buildable
+    * tree is itself buildable, so the prune would pass everything). Output
+    * (size, cstring), each canonical class once. */
+  def enumerateTrees(spark: SparkSession, verts: DataFrame, edges: DataFrame,
+      threshold: Long, maxPatternSize: Int): DataFrame = {
+    import spark.implicits._
+    val v = verts.select(col(verts.columns(0)).cast("long").as("graph_id"),
+      col(verts.columns(1)).cast("long").as("vid"), col(verts.columns(2)).cast("string").as("vlabel"))
+    val e = edges.select(col(edges.columns(0)).cast("long").as("graph_id"),
+      col(edges.columns(1)).cast("long").as("src"), col(edges.columns(2)).cast("long").as("dst"),
+      col(edges.columns(3)).cast("string").as("elabel"))
+    val freq1 = v.select("graph_id", "vlabel").distinct()
+      .groupBy("vlabel").agg(count(lit(1)).as("support"))
+      .where(col("support") >= threshold)
+    var results: DataFrame = freq1.select(lit(1).as("size"), col("vlabel").as("cstring"))
+    var patternsDS: Dataset[Pattern] = freq1.select("vlabel").as[String]
+      .map(l => Pattern(Seq(l), Nil, l, ""))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val freqEdges: Seq[(String, String, String)] = e
+      .join(v.select(col("graph_id"), col("vid").as("src"), col("vlabel").as("sl")), Seq("graph_id", "src"))
+      .join(v.select(col("graph_id"), col("vid").as("dst"), col("vlabel").as("dl")), Seq("graph_id", "dst"))
+      .select(col("graph_id"), least(col("sl"), col("dl")).as("la"), col("elabel"),
+        greatest(col("sl"), col("dl")).as("lb"))
+      .distinct()
+      .groupBy("la", "elabel", "lb").agg(count(lit(1)).as("support"))
+      .where(col("support") >= threshold)
+      .select("la", "elabel", "lb").as[(String, String, String)].collect().toSeq
+    val bcEdges = spark.sparkContext.broadcast(freqEdges)
+    var level = 2
+    var n = patternsDS.count()
+    while (level <= maxPatternSize && n > 0) {
+      val next = patternsDS.flatMap(pat => extensionsOf(pat, bcEdges.value))
+        .dropDuplicates("key").localCheckpoint(true)
+      val old = patternsDS
+      patternsDS = next
+      n = patternsDS.count()
+      old.unpersist(false)
+      results = results.union(next.select(lit(level).as("size"), col("key").as("cstring")))
+      level += 1
+    }
+    results.orderBy("size", "cstring")
+  }
+
+  // ------------------------------------------------------------- DFS miner
+
+  /** Depth-first mining strategy — the reference's `lwg -m dfs`
+    * (`levelwiseGraphMiningMain.c` method dispatch): identical frequent
+    * pattern set + supports as the BFS [[mine]] for every MONOTONE operator
+    * (exact/local-easy/importance/sample-once — support(child) ⊆
+    * support(parent) because the parent is a subtree of the child), only
+    * the exploration order and memory profile change. The driver holds the
+    * DFS stack of patterns and (capped) support-id sets — the reference's
+    * own memory model, O(branch depth), vs BFS's per-level distributed
+    * frontier; support counting itself stays distributed (one job per
+    * expanded pattern over the parent-support-restricted graphs).
+    *
+    * Scale verdict (SURVEY §2.11): BFS is the right default on Spark — its
+    * per-level batches amortize job overhead and keep the full frontier AND
+    * support relation distributed; DFS trades that for many small jobs and
+    * driver-held support sets (capped by `supportSetCap`; past the cap the
+    * restriction degrades to a full-DB scan, still correct). Provided for
+    * strategy parity, verified against the BFS miner's oracle. */
+  def mineDfs(spark: SparkSession, verts: DataFrame, edges: DataFrame,
+      threshold: Long, maxPatternSize: Int,
+      operator: EmbeddingOp = ExactSubtree,
+      supportSetCap: Int = 5000000): DataFrame = {
+    import spark.implicits._
+    val v = verts.select(col(verts.columns(0)).cast("long").as("graph_id"),
+      col(verts.columns(1)).cast("long").as("vid"), col(verts.columns(2)).cast("string").as("vlabel"))
+    val e = edges.select(col(edges.columns(0)).cast("long").as("graph_id"),
+      col(edges.columns(1)).cast("long").as("src"), col(edges.columns(2)).cast("long").as("dst"),
+      col(edges.columns(3)).cast("string").as("elabel"))
+    val graphs = transactionGraphs(spark, v, e, operator)
+    graphs.count() // materialize once; every expansion filters this cache
+
+    val vertOcc = v.select("graph_id", "vlabel").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val freq1 = vertOcc.groupBy("vlabel").agg(count(lit(1)).as("support"))
+      .where(col("support") >= threshold)
+      .as[(String, Long)].collect().sortBy(_._1)
+    val freqEdges: Seq[(String, String, String)] = e
+      .join(v.select(col("graph_id"), col("vid").as("src"), col("vlabel").as("sl")), Seq("graph_id", "src"))
+      .join(v.select(col("graph_id"), col("vid").as("dst"), col("vlabel").as("dl")), Seq("graph_id", "dst"))
+      .select(col("graph_id"), least(col("sl"), col("dl")).as("la"), col("elabel"),
+        greatest(col("sl"), col("dl")).as("lb"))
+      .distinct()
+      .groupBy("la", "elabel", "lb").agg(count(lit(1)).as("support"))
+      .where(col("support") >= threshold)
+      .select("la", "elabel", "lb").as[(String, String, String)].collect().toSeq
+
+    val results = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    val visited = scala.collection.mutable.Set[String]()
+    val stack = scala.collection.mutable.Stack[(Pattern, Option[Array[Long]])]()
+    for ((label, sup) <- freq1) {
+      results += ((1, label, sup))
+      visited += label
+      if (maxPatternSize >= 2) {
+        val gids =
+          if (sup <= supportSetCap)
+            Some(vertOcc.where(col("vlabel") === label).select("graph_id").as[Long].collect())
+          else None
+        stack.push((Pattern(Seq(label), Nil, label, ""), gids))
+      }
+    }
+
+    while (stack.nonEmpty) {
+      val (pat, supOpt) = stack.pop()
+      if (pat.vlabels.size < maxPatternSize) {
+        val children = extensionsOf(pat, freqEdges)
+          .groupBy(_.key).map(_._2.head).toSeq
+          .filterNot(c => visited.contains(c.key))
+        if (children.nonEmpty) {
+          // mark BEFORE counting: support is pattern-determined, so an
+          // infrequent child stays infrequent via every other parent too
+          visited ++= children.map(_.key)
+          val bc = spark.sparkContext.broadcast(
+            children.map(c => (c.vlabels, c.edges, c.key)))
+          val restricted = supOpt match {
+            case Some(gids) =>
+              val set = gids.toSet
+              val bset = spark.sparkContext.broadcast(set)
+              graphs.filter(g => bset.value.contains(g.graphId))
+            case None => graphs
+          }
+          val pairs = restricted.flatMap { g =>
+            bc.value.iterator.collect {
+              case (vl, es, key) if embedsWith(operator, vl, es, g) => (key, g.graphId)
+            }
+          }.collect()
+          val byKey = pairs.groupBy(_._1)
+          val size = pat.vlabels.size + 1
+          for (c <- children.sortBy(_.key).reverse) { // lex order popped first
+            val gids = byKey.getOrElse(c.key, Array.empty).map(_._2)
+            if (gids.length >= threshold) {
+              results += ((size, c.key, gids.length.toLong))
+              if (size < maxPatternSize)
+                stack.push((c, if (gids.length <= supportSetCap) Some(gids) else None))
+            }
+          }
+        }
+      }
+    }
+    graphs.unpersist(false)
+    vertOcc.unpersist(false)
+    results.toSeq.toDF("size", "cstring", "support").orderBy("size", "cstring")
   }
 }

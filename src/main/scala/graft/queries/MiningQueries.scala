@@ -305,6 +305,27 @@ object MiningQueries {
         .orderBy("size", "cstring")
     }),
 
+    // DFS mining strategy (lwg -m dfs; reference levelwiseGraphMiningMain.c
+    // method dispatch): same star DB, same parameters, same oracle as the
+    // BFS f_lwg_mine — strategy must not change the mined set.
+    "f_lwg_mine_dfs" -> ((s, dir) => {
+      val (verts, edges, nGraphs) = starDB(s, dir)
+      graft.mining.FrequentSubtrees.mineDfs(s, verts, edges,
+        threshold = math.max(1L, nGraphs / 10), maxPatternSize = 3)
+        .orderBy("size", "cstring")
+    }),
+
+    // treeEnumeration operator (reference help "STRANGE" section: enumerate
+    // all trees up to isomorphism from the frequent vertices and edges) on
+    // the star DB, sizes <= 3 — the oracle rebuilds every canonical class
+    // from the frequent label/triple alphabet in SQL.
+    "f_tree_enum" -> ((s, dir) => {
+      val (verts, edges, nGraphs) = starDB(s, dir)
+      graft.mining.FrequentSubtrees.enumerateTrees(s, verts, edges,
+        threshold = math.max(1L, nGraphs / 10), maxPatternSize = 3)
+        .orderBy("size", "cstring")
+    }),
+
     // rooted/directed levelwise miner (lwgr; reference
     // lwmr_initAndCollect.c:35, lwmr_miningAndExtension.c) on the same star
     // DB with edges directed center -> leaf.
@@ -336,6 +357,41 @@ object MiningQueries {
       val (v, e) = ringMinerDB(s, dir)
       graft.mining.FrequentSubtrees.mine(s, v, e, threshold = 1L, maxPatternSize = 3,
         operator = graft.mining.FrequentSubtrees.Hops(importance = 4, seed = 2024L))
+        .orderBy("size", "cstring")
+    }),
+
+    // sample-ONCE ps operator (reference help "ps": spanning trees sampled
+    // "only once for each transaction graph" — the apriori-PRESERVING
+    // operator of ML'18/'19) on the cyclic ring DB: every spanning tree of
+    // a ring is an n-path with uniform labels, so the output equals the
+    // exact miner's regardless of which edge each seeded sample drops —
+    // a hard oracle for the sampler.
+    "f_lwg_mine_ps" -> ((s, dir) => {
+      val (v, e) = ringMinerDB(s, dir)
+      graft.mining.FrequentSubtrees.mine(s, v, e, threshold = 1L, maxPatternSize = 3,
+        operator = graft.mining.FrequentSubtrees.PsSampledOnce(k = 2, seed = 4041L))
+        .orderBy("size", "cstring")
+    }),
+
+    // sample-ONCE bps operator (reference help "bps": k local spanning
+    // trees per block-tree root, drawn once; pattern embeds in some
+    // COMBINATION) on the same ring DB — same closed-form argument.
+    "f_lwg_mine_bps" -> ((s, dir) => {
+      val (v, e) = ringMinerDB(s, dir)
+      graft.mining.FrequentSubtrees.mine(s, v, e, threshold = 1L, maxPatternSize = 3,
+        operator = graft.mining.FrequentSubtrees.BpsSampledOnce(k = 2, seed = 4242L))
+        .orderBy("size", "cstring")
+    }),
+
+    // relative-importance miner (reference subtreeRelimpOperator,
+    // importantSubtrees.c): pattern counts when it occurs in >= mu of the
+    // transaction's components. Same customer-forest DB as absimp; with
+    // mu = 0.5 the supports are closed-form from per-customer order /
+    // lineitem counts.
+    "f_lwg_mine_relimp" -> ((s, dir) => {
+      val (v, e) = custForestDB(s, dir)
+      graft.mining.FrequentSubtrees.mine(s, v, e, threshold = 1L, maxPatternSize = 3,
+        operator = graft.mining.FrequentSubtrees.RelImportant(0.5))
         .orderBy("size", "cstring")
     }),
 
@@ -567,6 +623,30 @@ object MiningQueries {
       |        FROM lineitem l JOIN o8 o ON l.l_orderkey = o.gid),
       |thr AS (SELECT greatest(1, count(*) // 10) AS t FROM o8)""".stripMargin
 
+  /** Shared BFS/DFS lwg oracle on the star DB (strategy must not change
+    * the mined set). */
+  private val lwgMineStarSql: String =
+      s"""WITH $starSql,
+         |s1 AS (
+         |  SELECT 1 AS size, lab AS cstring, count(DISTINCT gid)::BIGINT AS support FROM (
+         |    SELECT gid, c AS lab FROM o8 UNION ALL SELECT gid, f FROM li8) GROUP BY 2),
+         |s2 AS (
+         |  SELECT 2 AS size,
+         |    least(c || '(' || e || ' ' || f || ')', f || '(' || e || ' ' || c || ')') AS cstring,
+         |    count(DISTINCT gid)::BIGINT AS support
+         |  FROM li8 GROUP BY 2),
+         |s3 AS (
+         |  SELECT 3 AS size,
+         |    a.c || least('(' || a.e || ' ' || a.f || ')', '(' || b.e || ' ' || b.f || ')')
+         |        || greatest('(' || a.e || ' ' || a.f || ')', '(' || b.e || ' ' || b.f || ')') AS cstring,
+         |    count(DISTINCT a.gid)::BIGINT AS support
+         |  FROM li8 a JOIN li8 b ON a.gid = b.gid AND a.ln < b.ln
+         |  GROUP BY 2)
+         |SELECT size, cstring, support FROM (
+         |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+         |WHERE support >= (SELECT t FROM thr)
+         |ORDER BY size, cstring""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "f_frequent_labels" ->
       """SELECT label, count(*)::BIGINT AS support FROM (
@@ -745,26 +825,36 @@ object MiningQueries {
     // Levelwise free-tree miner on the star DB: every frequent pattern of
     // size <= 3 with its exact support (apriori mining is lossless, so the
     // result equals the direct "all subtrees with support >= t" enumeration).
-    "f_lwg_mine" ->
+    "f_lwg_mine" -> lwgMineStarSql,
+    // DFS strategy: identical mined set + supports by construction.
+    "f_lwg_mine_dfs" -> lwgMineStarSql,
+
+    // treeEnumeration: all canonical trees (sizes 1..3) over the frequent
+    // alphabet — size 1 = frequent labels; size 2 = frequent triples folded
+    // to free canonical form; size 3 = a center with any multiset of two
+    // attachments from the triple alphabet, children sorted.
+    "f_tree_enum" ->
       s"""WITH $starSql,
-         |s1 AS (
-         |  SELECT 1 AS size, lab AS cstring, count(DISTINCT gid)::BIGINT AS support FROM (
-         |    SELECT gid, c AS lab FROM o8 UNION ALL SELECT gid, f FROM li8) GROUP BY 2),
-         |s2 AS (
-         |  SELECT 2 AS size,
-         |    least(c || '(' || e || ' ' || f || ')', f || '(' || e || ' ' || c || ')') AS cstring,
-         |    count(DISTINCT gid)::BIGINT AS support
-         |  FROM li8 GROUP BY 2),
-         |s3 AS (
-         |  SELECT 3 AS size,
-         |    a.c || least('(' || a.e || ' ' || a.f || ')', '(' || b.e || ' ' || b.f || ')')
-         |        || greatest('(' || a.e || ' ' || a.f || ')', '(' || b.e || ' ' || b.f || ')') AS cstring,
-         |    count(DISTINCT a.gid)::BIGINT AS support
-         |  FROM li8 a JOIN li8 b ON a.gid = b.gid AND a.ln < b.ln
-         |  GROUP BY 2)
-         |SELECT size, cstring, support FROM (
+         |lab AS (
+         |  SELECT lab, count(DISTINCT gid) AS sup FROM (
+         |    SELECT gid, c AS lab FROM o8 UNION ALL SELECT gid, f FROM li8) GROUP BY 1),
+         |flab AS (SELECT lab FROM lab WHERE sup >= (SELECT t FROM thr)),
+         |trip AS (
+         |  SELECT la, el, lb FROM (
+         |    SELECT DISTINCT gid, least(c, f) AS la, e AS el, greatest(c, f) AS lb FROM li8)
+         |  GROUP BY la, el, lb HAVING count(*) >= (SELECT t FROM thr)),
+         |att AS (SELECT la AS ctr, el, lb AS leaf FROM trip
+         |        UNION SELECT lb, el, la FROM trip),
+         |s1 AS (SELECT 1 AS size, lab AS cstring FROM flab),
+         |s2 AS (SELECT DISTINCT 2 AS size,
+         |         least(la || '(' || el || ' ' || lb || ')',
+         |               lb || '(' || el || ' ' || la || ')') AS cstring FROM trip),
+         |s3 AS (SELECT DISTINCT 3 AS size, a.ctr ||
+         |         least('(' || a.el || ' ' || a.leaf || ')', '(' || b.el || ' ' || b.leaf || ')') ||
+         |         greatest('(' || a.el || ' ' || a.leaf || ')', '(' || b.el || ' ' || b.leaf || ')') AS cstring
+         |       FROM att a JOIN att b ON a.ctr = b.ctr)
+         |SELECT size, cstring FROM (
          |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
-         |WHERE support >= (SELECT t FROM thr)
          |ORDER BY size, cstring""".stripMargin,
 
     // Rooted/directed variant: same DB, edges center->leaf, no orientation
@@ -795,6 +885,33 @@ object MiningQueries {
 
     "f_lwg_mine_localeasy" -> ringMinerOracleSql,
     "f_lwg_mine_hops" -> ringMinerOracleSql,
+    // ps/bps: on uniform rings every sampled spanning tree is an n-path, so
+    // the sample-once miners deterministically equal the exact one.
+    "f_lwg_mine_ps" -> ringMinerOracleSql,
+    "f_lwg_mine_bps" -> ringMinerOracleSql,
+
+    // relimp with mu=0.5 on the customer forest DB: pattern of c leaves
+    // counts for a customer iff (#orders with >= c lineitems) >= nord/2.
+    "f_lwg_mine_relimp" ->
+      """WITH lic AS (
+        |  SELECT ok, count(*) AS nli FROM (
+        |    SELECT l_orderkey AS ok,
+        |           row_number() OVER (PARTITION BY l_orderkey
+        |                              ORDER BY l_linenumber, l_returnflag, l_linestatus) AS rn
+        |    FROM lineitem) WHERE rn <= 7 GROUP BY ok),
+        |stats AS (
+        |  SELECT o.o_custkey AS gid, count(*) AS nord,
+        |         sum(CASE WHEN coalesce(lic.nli, 0) >= 1 THEN 1 ELSE 0 END) AS n1,
+        |         sum(CASE WHEN coalesce(lic.nli, 0) >= 2 THEN 1 ELSE 0 END) AS n2
+        |  FROM orders o LEFT JOIN lic ON lic.ok = o.o_orderkey GROUP BY 1),
+        |sup AS (
+        |  SELECT 1 AS size, 'o' AS cstring, count(*)::BIGINT AS support FROM stats
+        |  UNION ALL SELECT 2, 'o(e o)',
+        |    sum(CASE WHEN 2*n1 >= nord THEN 1 ELSE 0 END)::BIGINT FROM stats
+        |  UNION ALL SELECT 3, 'o(e o)(e o)',
+        |    sum(CASE WHEN 2*n2 >= nord THEN 1 ELSE 0 END)::BIGINT FROM stats)
+        |SELECT size, cstring, support FROM sup WHERE support >= 1
+        |ORDER BY size, cstring""".stripMargin,
 
     "f_hops_estimate" ->
       s"""WITH cust AS ($custSql)

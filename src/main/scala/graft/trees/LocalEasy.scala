@@ -232,6 +232,119 @@ object LocalEasy {
   def sampledLocalEmbeds(h: LTree, g: LTree, k: Int, seed: Long): Boolean =
     (0 until k).exists(i => SubtreeIso.embeds(h, blockwiseSpanningTree(g, seed + i)))
 
+  /** One uniform spanning FOREST of a labeled graph: a seeded Wilson tree
+    * per connected component (the sampling unit of the reference's
+    * sample-ONCE `ps` operator, `lwm_initAndCollect.c` sampled-DB
+    * construction — each transaction is replaced by spanning forests drawn
+    * once, up front). Blockwise and whole-component sampling induce the same
+    * uniform distribution (a spanning tree IS an independent choice per
+    * block), so Wilson per component is used directly. */
+  def wholeGraphSpanningForest(g: LTree, seed: Long): LTree = {
+    val edges = g.edges.map { case (a, b, _) => (a.toLong, b.toLong) }.toSeq
+    val elab = g.edges.map { case (a, b, l) => (math.min(a, b).toLong, math.max(a, b).toLong) -> l }.toMap
+    val parent = mutable.Map[Long, Long]()
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    for ((a, b) <- edges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val chosen = edges.groupBy(e => find(e._1)).values.toSeq
+      .flatMap(comp => TreeKernels.wilsonSpanningTree(comp, seed))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    LTree(g.vlabels, chosen.map { case (a, b) => (a.toInt, b.toInt, elab((a, b))) }.toArray)
+  }
+
+  /** Sample-once `bps` check: does tree pattern h embed in SOME COMBINATION
+    * of the given once-sampled per-root local spanning trees (reference
+    * `levelwiseGraphMiningHelp.txt` "bps"; `lwm_embeddingOperators.c`
+    * sampled local-easy DP on a FIXED sampled spanning-tree tree)?
+    *
+    * `local(r)(i)` = the i-th sampled tree of root r, edges in g's local
+    * vertex ids. A combination picks ONE tree per root; h embeds in the
+    * union forest of some combination iff there is a label-guided subgraph
+    * embedding of h that (a) only uses edges present in some sampled tree
+    * and (b) within each root keeps all used edges inside a single sampled
+    * tree — decided here by backtracking with a per-root set of still-
+    * compatible tree indices (the direct analogue of the reference's
+    * per-vertex characteristics over the sampled tree list). Deterministic
+    * given the sampled lists; monotone under subpatterns (the apriori
+    * property the sample-once operators exist to preserve). */
+  def bpsEmbeds(h: LTree, g: LTree, local: Seq[Seq[Seq[(Int, Int)]]]): Boolean = {
+    if (h.n == 0) return true
+    if (h.n == 1) return g.vlabels.contains(h.vlabels(0))
+    val elab = h1Elab(g)
+    // canonical edge -> (root, tree-index set); every edge lives in exactly
+    // one block, hence one root
+    val allowed = mutable.Map[(Int, Int), (Int, mutable.Set[Int])]()
+    for ((trees, r) <- local.zipWithIndex; (t, i) <- trees.zipWithIndex; (a, b) <- t) {
+      val e = (math.min(a, b), math.max(a, b))
+      allowed.getOrElseUpdate(e, (r, mutable.Set[Int]()))._2 += i
+    }
+    // adjacency over sampled edges only: u -> (w, elabel, root, treeSet)
+    val sadj = Array.fill(g.n)(List.empty[(Int, String, Int, Set[Int])])
+    for (((a, b), (r, is)) <- allowed) {
+      val l = elab((a, b))
+      sadj(a) ::= (b, l, r, is.toSet)
+      sadj(b) ::= (a, l, r, is.toSet)
+    }
+    // pattern DFS order from vertex 0: (vertex, parent, entering edge label)
+    val order = mutable.ArrayBuffer[(Int, Int, String)]()
+    val seenP = Array.fill(h.n)(false)
+    def dfsP(u: Int, pu: Int, el: String): Unit = {
+      seenP(u) = true
+      order += ((u, pu, el))
+      for ((c, l) <- h.adj(u) if !seenP(c)) dfsP(c, u, l)
+    }
+    dfsP(0, -1, "")
+    if (order.size != h.n) return false
+    val mapping = Array.fill(h.n)(-1)
+    val used = Array.fill(g.n)(false)
+    val chosen = mutable.Map[Int, Set[Int]]() // root -> compatible tree indices
+    def bt(idx: Int): Boolean = {
+      if (idx == order.size) return true
+      val (u, pu, el) = order(idx)
+      if (pu < 0) {
+        var v = 0
+        while (v < g.n) {
+          if (!used(v) && g.vlabels(v) == h.vlabels(u)) {
+            mapping(u) = v; used(v) = true
+            if (bt(idx + 1)) return true
+            used(v) = false; mapping(u) = -1
+          }
+          v += 1
+        }
+        false
+      } else {
+        sadj(mapping(pu)).exists { case (w, wel, r, is) =>
+          !used(w) && wel == el && g.vlabels(w) == h.vlabels(u) && {
+            val prev = chosen.get(r)
+            val next = prev.fold(is)(_ intersect is)
+            next.nonEmpty && {
+              chosen(r) = next
+              mapping(u) = w; used(w) = true
+              if (bt(idx + 1)) true
+              else {
+                used(w) = false; mapping(u) = -1
+                prev match { case Some(p) => chosen(r) = p; case None => chosen.remove(r) }
+                false
+              }
+            }
+          }
+        }
+      }
+    }
+    bt(0)
+  }
+
+  /** Per-root once-sampled local spanning trees of a labeled graph in its
+    * own vertex ids — the [[bpsEmbeds]] input, built ONCE per transaction by
+    * the miner ([[localTreeLists]] over the graph's long-id edge list,
+    * mapped back to ints). */
+  def bpsLocalTrees(g: LTree, k: Int, seed: Long): Seq[Seq[Seq[(Int, Int)]]] = {
+    val edges = g.edges.map { case (a, b, _) => (a.toLong, b.toLong) }.toSeq
+    localTreeLists(edges, k, seed).map(_.map(_.map { case (a, b) => (a.toInt, b.toInt) }))
+  }
+
+  private def h1Elab(g: LTree): Map[(Int, Int), String] =
+    g.edges.map { case (a, b, l) => (math.min(a, b), math.max(a, b)) -> l }.toMap
+
   /** Connected components of a labeled graph, isolated vertices included,
     * each re-indexed as its own LTree (reference `importantSubtrees.c:14`
     * graph2Components). */

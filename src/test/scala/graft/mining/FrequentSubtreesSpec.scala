@@ -108,4 +108,44 @@ class FrequentSubtreesSpec extends AnyFunSuite with SparkTestBase {
       assert(got == want, s"threshold=$t\ngot=${got.toSeq.sorted}\nwant=${want.toSeq.sorted}")
     }
   }
+
+  test("DFS strategy mines the identical set + supports as BFS (lwg -m dfs parity)") {
+    val graphs = Seq[(Long, Seq[String], Seq[(Int, Int, String)])](
+      (0L, Seq("a", "b", "a", "c"), Seq((0, 1, "x"), (1, 2, "x"), (2, 3, "y"))),
+      (1L, Seq("a", "b", "a"), Seq((0, 1, "x"), (1, 2, "x"))),
+      (2L, Seq("b", "a", "a", "a"), Seq((0, 1, "x"), (0, 2, "x"), (0, 3, "y"))),
+      (3L, Seq("c", "b", "a", "a"), Seq((0, 1, "y"), (1, 2, "x"), (1, 3, "x"))))
+    val verts = graphs.flatMap { case (g, vl, _) => vl.zipWithIndex.map { case (l, i) => (g, i.toLong, l) } }
+      .toDF("graph_id", "vid", "vlabel")
+    val edges = graphs.flatMap { case (g, _, es) => es.map { case (a, b, l) => (g, a.toLong, b.toLong, l) } }
+      .toDF("graph_id", "src", "dst", "elabel")
+    for (t <- Seq(1, 2, 3)) {
+      val bfs = FrequentSubtrees.mine(spark, verts, edges, t, maxPatternSize = 4)
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val dfs = FrequentSubtrees.mineDfs(spark, verts, edges, t, maxPatternSize = 4)
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(dfs == bfs, s"threshold=$t strategy mismatch")
+      // the support-set cap only degrades the restriction, never the result
+      val dfsCapped = FrequentSubtrees.mineDfs(spark, verts, edges, t, maxPatternSize = 4,
+        supportSetCap = 0)
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(dfsCapped == bfs, s"threshold=$t capped mismatch")
+    }
+  }
+
+  test("treeEnumeration: unlabeled free-tree counts 1,1,1,2 and alphabet filtering") {
+    // single frequent label + single triple -> free trees up to iso by size
+    val verts = Seq((0L, 0L, "o"), (0L, 1L, "o")).toDF("graph_id", "vid", "vlabel")
+    val edges = Seq((0L, 0L, 1L, "e")).toDF("graph_id", "src", "dst", "elabel")
+    val got = FrequentSubtrees.enumerateTrees(spark, verts, edges, 1L, maxPatternSize = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val bySize = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySize == Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 2)) // P4 + star3
+    assert(got.toSet.contains((4, "o(e o)(e o)(e o)"))) // the star
+    // an infrequent label contributes nothing
+    val verts2 = verts.union(Seq((0L, 2L, "z")).toDF("graph_id", "vid", "vlabel"))
+    val got2 = FrequentSubtrees.enumerateTrees(spark, verts2, edges, 2L, maxPatternSize = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got2.isEmpty) // nothing reaches support 2 on a 1-graph DB
+  }
 }

@@ -198,4 +198,51 @@ class LocalEasySpec extends AnyFunSuite {
       graft.mining.FrequentSubtrees.mine(spark, v, e, threshold = 1, maxPatternSize = 3).collect()
     }
   }
+
+  test("bpsEmbeds: single-root edges must come from ONE sampled tree; roots mix freely") {
+    val sq = ltree(Seq.fill(4)("o"), Seq((0, 1, "e"), (1, 2, "e"), (2, 3, "e"), (3, 0, "e")))
+    // one root, two sampled trees: path 0-1-2 and path 2-3-0
+    val oneRoot = Seq(Seq(Seq((0, 1), (1, 2)), Seq((2, 3), (3, 0))))
+    assert(LocalEasy.bpsEmbeds(path(3), sq, oneRoot))
+    // a 4-path exists in the UNION (3-0-1-2) but needs edges from both trees
+    // of the same root — not a valid combination
+    assert(!LocalEasy.bpsEmbeds(path(4), sq, oneRoot))
+    // the same edges split across two roots: mixing is allowed
+    val twoRoots = Seq(Seq(Seq((0, 1), (1, 2))), Seq(Seq((2, 3))))
+    assert(LocalEasy.bpsEmbeds(path(4), sq, twoRoots))
+    // label mismatches still fail
+    val labeled = ltree(Seq("a", "b", "a", "b"), Seq((0, 1, "e"), (1, 2, "e"), (2, 3, "e"), (3, 0, "e")))
+    val pat = ltree(Seq("a", "a"), Seq((0, 1, "e")))
+    assert(!LocalEasy.bpsEmbeds(pat, labeled, oneRoot))
+  }
+
+  test("sample-once ps/bps miners: exact on rings, deterministic, apriori-stable") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val gids = Seq(1L -> 3, 2L -> 4, 3L -> 5, 4L -> 2)
+    val vertRows = gids.flatMap { case (g, n) => (0 until n).map(i => (g, i.toLong, "o")) }
+    val edgeRows = gids.flatMap { case (g, n) =>
+      if (n == 2) Seq((g, 0L, 1L, "e"))
+      else (0 until n).map(i => (g, i.toLong, ((i + 1) % n).toLong, "e"))
+    }
+    val v = vertRows.toDF("graph_id", "vid", "vlabel")
+    val e = edgeRows.toDF("graph_id", "src", "dst", "elabel")
+    val want = Set((1, "o", 4L), (2, "o(e o)", 4L), (3, "o(e o)(e o)", 3L))
+    def mineWith(op: graft.mining.FrequentSubtrees.EmbeddingOp, maxSize: Int = 3) =
+      graft.mining.FrequentSubtrees.mine(spark, v, e, threshold = 1, maxPatternSize = maxSize,
+        operator = op).collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val ps = mineWith(graft.mining.FrequentSubtrees.PsSampledOnce(1, 77L))
+    assert(ps == want) // any ring spanning tree is an n-path
+    val bps = mineWith(graft.mining.FrequentSubtrees.BpsSampledOnce(1, 78L))
+    assert(bps == want)
+    // determinism under the seed
+    assert(mineWith(graft.mining.FrequentSubtrees.PsSampledOnce(1, 77L)) == ps)
+    // apriori stability: the size<=2 prefix is unchanged when mining deeper
+    // (the sampled structures are FIXED per transaction, so supports cannot
+    // drift across levels — the property resampling destroys)
+    val psShallow = mineWith(graft.mining.FrequentSubtrees.PsSampledOnce(1, 77L), maxSize = 2)
+    assert(ps.filter(_._1 <= 2) == psShallow)
+    val bpsShallow = mineWith(graft.mining.FrequentSubtrees.BpsSampledOnce(1, 78L), maxSize = 2)
+    assert(bps.filter(_._1 <= 2) == bpsShallow)
+  }
 }
