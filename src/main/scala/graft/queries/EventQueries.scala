@@ -45,6 +45,35 @@ object EventQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // STREAMING sessionizer driven end-to-end (MemoryStream micro-batch
+    // replay, event-time-timeout eviction included): per-user total session
+    // counts from the timeout-emitted closure rows — must equal the batch
+    // sessionizer's per-user session count (graft.streaming.StreamReplay).
+    "e_sessionize_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.sessionCounts(s, t(s, dir, "events"), gapMinutes = 30)
+        .select(col("user_id").cast("long").as("user_id"), col("n_sessions"))
+        .orderBy("user_id")
+    }),
+
+    // STREAMING funnel replay (click -> purchase, effectively unbounded
+    // window): per-user completion counts; the oracle runs the same state
+    // machine as a recursive CTE.
+    "e_funnel_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.funnelCounts(s, t(s, dir, "events"),
+          Seq("click", "purchase"), windowMinutes = 1000000)
+        .select(col("user_id").cast("long").as("user_id"), col("n_hits"))
+        .orderBy("user_id")
+    }),
+
+    // STREAMING exact dedup replay on (user_id, event_type, ts): with an
+    // event-time-ordered feed the output is exactly the batch DISTINCT.
+    "e_dedup_stream" -> ((s, dir) => {
+      graft.streaming.StreamReplay.dedupRows(s, t(s, dir, "events"))
+        .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy("user_id", "event_type", "ts_us")
+    }),
+
     // per-user event funnel: users who clicked and then purchased (order-aware
     // exists; the streaming analogue is stateful pattern detection)
     "e_funnel" -> ((s, dir) => {
@@ -83,6 +112,40 @@ object EventQueries {
          |  count(*)::BIGINT AS n_events,
          |  min(event_id)::BIGINT AS first_event, max(event_id)::BIGINT AS last_event
          |FROM numbered GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "e_sessionize_stream" ->
+      s"""WITH marked AS (
+         |  SELECT user_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapMicros
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id::BIGINT AS user_id, sum(new_session)::BIGINT AS n_sessions
+         |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the funnel state machine (click arms, purchase fires) as a per-user
+    // recursive scan in event order
+    "e_funnel_stream" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |rec(user_id, rn, state, hits) AS (
+        |  SELECT user_id, 0, 0, 0 FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, r.rn + 1,
+        |    CASE WHEN e.event_type = 'click' AND r.state = 0 THEN 1
+        |         WHEN e.event_type = 'purchase' AND r.state = 1 THEN 0
+        |         ELSE r.state END,
+        |    r.hits + CASE WHEN e.event_type = 'purchase' AND r.state = 1 THEN 1 ELSE 0 END
+        |  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id::BIGINT AS user_id, arg_max(hits, rn)::BIGINT AS n_hits
+        |FROM rec GROUP BY user_id HAVING arg_max(hits, rn) > 0 ORDER BY user_id""".stripMargin,
+
+    "e_dedup_stream" ->
+      """SELECT DISTINCT user_id::BIGINT AS user_id, event_type, epoch_us(ts)::BIGINT AS ts_us
+        |FROM events ORDER BY user_id, event_type, ts_us""".stripMargin,
 
     "e_funnel" ->
       """WITH c AS (SELECT user_id, min(ts) AS first_click FROM events WHERE event_type = 'click' GROUP BY user_id),
