@@ -71,6 +71,62 @@ object Triangles {
       .select(col("vid"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** Triangle counts per UNORDERED vertex-label triple: (la, lb, lc, n) —
+    * the input to label-multiset fingerprints (reference
+    * `executables/patternExtractor.c:121-177` fingerprintTriple works per
+    * enumerated triangle; at 10^8 triangles the labels must ride ALONG the
+    * enumeration, not be joined onto it afterwards). The label alphabet is
+    * collected into a tiny dictionary (the same bounded-alphabet contract
+    * as the miner's frequent-edge list) and each neighbor is encoded as
+    * `vid * K + labelId` so the adjacency arrays stay LONG arrays —
+    * `array_intersect` keeps its specialized long fast path (struct
+    * elements fall back to interpreted pairwise comparison, measured 10x+
+    * slower). Only the <= |alphabet|^3 aggregated classes are decoded back
+    * to strings. Requires non-negative vertex ids < 2^52 / K. */
+  def labelTripleCounts(spark: SparkSession, edges: DataFrame, labels: DataFrame): DataFrame = {
+    import spark.implicits._
+    val lab = labels.select(col(labels.columns(0)).cast("long").as("vid"),
+      col(labels.columns(1)).cast("string").as("lab"))
+    val dict = lab.select("lab").distinct().orderBy("lab")
+      .as[String].collect().zipWithIndex.toSeq
+    val k = math.max(1, dict.size)
+    val dictDF = dict.toDF("lab", "lid")
+    val labeled = lab.join(broadcast(dictDF), "lab")
+      .select(col("vid"), col("lid").cast("long").as("lid"))
+    val adj = orient(spark, edges)
+      .join(labeled.select(col("vid").as("dst"), col("lid").as("dlid")), "dst")
+      .select(col("src"), (col("dst") * k + col("dlid")).as("enc"))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_set(col("enc"))).as("nbrs"))
+    val withSrcLid = adj.join(labeled.select(col("vid").as("src"), col("lid").as("slid")), "src")
+    val counted = withSrcLid
+      .select(col("slid"), explode(col("nbrs")).as("d"), col("nbrs").as("unbrs"))
+      .select(col("slid"), pmod(col("d"), lit(k.toLong)).as("dlid"),
+        expr(s"d DIV $k").as("dstv"), col("unbrs"))
+      .join(adj.select(col("src").as("dstv"), col("nbrs").as("vnbrs")), "dstv")
+      .select(col("slid"), col("dlid"),
+        explode(array_intersect(col("unbrs"), col("vnbrs"))).as("w"))
+      .select(col("slid"), col("dlid"), pmod(col("w"), lit(k.toLong)).as("wlid"))
+      // sorted-triple key packed into ONE long (lo*k^2 + mid*k + hi): the
+      // per-row hash-agg key stays primitive — no array allocation per
+      // triangle on the 10^8-row stream
+      .select((least(col("slid"), col("dlid"), col("wlid")) * (k.toLong * k) +
+          (col("slid") + col("dlid") + col("wlid")
+            - least(col("slid"), col("dlid"), col("wlid"))
+            - greatest(col("slid"), col("dlid"), col("wlid"))) * k.toLong +
+          greatest(col("slid"), col("dlid"), col("wlid"))).as("tkey"))
+      .groupBy("tkey").agg(count(lit(1)).as("n"))
+    val d = broadcast(dictDF.select(col("lab"), col("lid").cast("long").as("lid")))
+    counted
+      .select(expr(s"tkey DIV ${k.toLong * k}").as("l0"),
+        pmod(expr(s"tkey DIV $k"), lit(k.toLong)).as("l1"),
+        pmod(col("tkey"), lit(k.toLong)).as("l2"), col("n"))
+      .join(d.select(col("lid").as("l0"), col("lab").as("la")), "l0")
+      .join(d.select(col("lid").as("l1"), col("lab").as("lb")), "l1")
+      .join(d.select(col("lid").as("l2"), col("lab").as("lc")), "l2")
+      .select(col("la"), col("lb"), col("lc"), col("n"))
+  }
+
   /** Common-neighbor count for each connected pair (reference
     * `graph.c:105-123` `commonNeighborCount`). */
   def commonNeighbors(spark: SparkSession, edges: DataFrame): DataFrame = {

@@ -123,21 +123,17 @@ object MiningQueries {
       // The fingerprint (min over all 6 md5'd permutations) is a function of
       // the label MULTISET only, so count triangles per sorted label triple
       // first (codegen'd array_sort on 3 elements, partial agg collapses the
-      // millions of triangles to <= |labels|^3/6 classes) and hash the few
-      // surviving classes — not each triangle (md5 x6 per triangle would
-      // dominate the whole pipeline at scale).
-      val tri = graft.algo.Triangles.enumerate(s, Tables.coSupplierEdges(s, dir))
+      // ~10^8 triangles to <= |labels|^3/6 classes) and hash the few
+      // surviving classes — not each triangle. Labels ride along the
+      // enumeration itself (Triangles.labelTriples): at sf0.1 the three
+      // per-triangle broadcast joins of the round-3 formulation dominated
+      // the whole query.
       val lab = t(s, dir, "supplier").select(col("s_suppkey").as("vid"), col("s_nationkey").cast("string").as("lab"))
-      val byTriple = tri
-        .join(broadcast(lab.select(col("vid").as("a"), col("lab").as("la"))), "a")
-        .join(broadcast(lab.select(col("vid").as("b"), col("lab").as("lb"))), "b")
-        .join(broadcast(lab.select(col("vid").as("c"), col("lab").as("lc"))), "c")
-        .select(array_sort(array(col("la"), col("lb"), col("lc"))).as("t"))
-        .groupBy("t").agg(count(lit(1)).as("n"))
+      val byTriple = graft.algo.Triangles
+        .labelTripleCounts(s, Tables.coSupplierEdges(s, dir), lab)
+      val cols = Seq(col("la"), col("lb"), col("lc"))
       val rots = Seq((0, 1, 2), (1, 2, 0), (2, 0, 1), (0, 2, 1), (2, 1, 0), (1, 0, 2))
-        .map { case (x, y, z) =>
-          md5(concat_ws("|", col("t").getItem(x), col("t").getItem(y), col("t").getItem(z)))
-        }
+        .map { case (x, y, z) => md5(concat_ws("|", cols(x), cols(y), cols(z))) }
       byTriple
         .select(least(rots: _*).as("fingerprint"), col("n"))
         .groupBy("fingerprint").agg(sum("n").as("n"))
