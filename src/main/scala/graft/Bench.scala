@@ -178,25 +178,24 @@ object Bench {
           }
         }
         // ---- phase 2: bench edge table + static structures (same session) ----
-        // The CSR adjacency + vertex table are precomputed ONCE here
-        // (PageRank.writeStatic) and shared by every worker run at every
-        // level: identical measured per-iteration work, much cheaper per-run
-        // setup — the time that buys the second in-protocol scaling pair
-        // (round-3 verdict #1).
         val benchEdgesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EDGES", "/tmp/graft_bench_edges_12m")
-        val nVerts = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "12000000").toLong
-        val mOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_M", "8").toInt
-        if (!Files.exists(Paths.get(benchEdgesPath, "_SUCCESS"))) {
-          graft.fixtures.Generators.powerLawEdges(spark, nVerts, mOut, seed = 42L)
-            .write.mode("overwrite").parquet(benchEdgesPath)
-        }
-        val staticPath = benchEdgesPath + "_static"
-        if (!Files.exists(Paths.get(staticPath, "verts", "_SUCCESS")))
-          graft.algo.PageRank.writeStatic(spark, spark.read.parquet(benchEdgesPath), staticPath)
+        ensureBenchInputs(spark, benchEdgesPath)
         spark.stop()
         runScaling(benchEdgesPath, scaling, notes, remaining _)
       } else {
         val benchEdgesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EDGES", "/tmp/graft_bench_edges_12m")
+        if (!Files.exists(Paths.get(benchEdgesPath + "_static", "verts", "_SUCCESS"))) {
+          val spark = SparkSession.builder()
+            .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+            .appName("graft-bench-gen")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.ui.enabled", "false")
+            .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+            .getOrCreate()
+          spark.sparkContext.setLogLevel("WARN")
+          ensureBenchInputs(spark, benchEdgesPath)
+          spark.stop()
+        }
         runScaling(benchEdgesPath, scaling, notes, remaining _)
       }
     } catch {
@@ -223,7 +222,25 @@ object Bench {
       else f"$v%.3f"
     try Files.writeString(Paths.get("/root/repo/BENCH_LAST.json"), jline(_.toString) + "\n")
     catch { case _: Throwable => () }
+    if (notes.nonEmpty) System.err.println("[bench notes]\n" + notes)
     println(jline(compact))
+  }
+
+  /** Deterministic bench edge table + the ONCE-precomputed static iteration
+    * structures (PageRank.writeStatic) shared by every worker run at every
+    * level: identical measured per-iteration work, much cheaper per-run
+    * setup — the time that buys the second in-protocol scaling pair
+    * (round-3 verdict #1). */
+  private def ensureBenchInputs(spark: SparkSession, benchEdgesPath: String): Unit = {
+    val nVerts = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "12000000").toLong
+    val mOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_M", "8").toInt
+    if (!Files.exists(Paths.get(benchEdgesPath, "_SUCCESS"))) {
+      graft.fixtures.Generators.powerLawEdges(spark, nVerts, mOut, seed = 42L)
+        .write.mode("overwrite").parquet(benchEdgesPath)
+    }
+    val staticPath = benchEdgesPath + "_static"
+    if (!Files.exists(Paths.get(staticPath, "verts", "_SUCCESS")))
+      graft.algo.PageRank.writeStatic(spark, spark.read.parquet(benchEdgesPath), staticPath)
   }
 
   /** Phases 3+4. Mutates `scaling`; writes BENCH.md. */

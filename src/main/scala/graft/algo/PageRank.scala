@@ -137,7 +137,11 @@ object PageRank {
   def writeStatic(spark: SparkSession, edges: DataFrame, path: String): Unit = {
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "20000000")
     val e = GraphOps.canonicalEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val adj = e.groupBy("src")
+    // explicit wide partitioning for the one-time build: at a low session
+    // shuffle-partition setting the per-task collect_list hash state over
+    // ~|V|/p keys is what blows the heap, not the data volume
+    val p = math.max(GraphOps.defaultParallelism(spark), 128)
+    val adj = e.repartition(p, col("src")).groupBy("src")
       .agg(collect_list(col("dst")).as("nbrs"))
       .select(col("src"), col("nbrs"), size(col("nbrs")).cast("double").as("odeg"))
     adj.write.mode("overwrite").parquet(s"$path/adj")
