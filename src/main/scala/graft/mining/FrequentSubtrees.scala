@@ -72,6 +72,12 @@ object FrequentSubtrees {
     * Same apriori soundness as [[PsSampledOnce]], strictly higher recall
     * (k^roots combinations vs k whole forests). */
   final case class BpsSampledOnce(k: Int, seed: Long) extends EmbeddingOp
+  /** The `hops_simple` / `hops_simplerandom` / `hops_simplematching`
+    * comparison variants (reference help "VARIANTS OF INCOMPLETE EMBEDDING
+    * OPERATORS"; `subtreeIsomorphismSampling.c:39,110,249`): `mode` is a
+    * [[graft.trees.LocalEasy.HopsMode]] value. One-sided error, resampled
+    * per call — no apriori guarantee, exactly as the reference warns. */
+  final case class HopsVariant(mode: Int, importance: Int, seed: Long) extends EmbeddingOp
 
   /** A transaction graph re-indexed to dense 0-based vertex ids.
     * `psForests`/`bpsLocal` carry the ONCE-sampled structures of the
@@ -103,6 +109,8 @@ object FrequentSubtrees {
         graft.trees.LocalEasy.sampledLocalEmbeds(h, gt, k, seed ^ g.graphId)
       case Hops(imp, seed) =>
         graft.trees.LocalEasy.hopsEmbeds(h, gt, imp, seed ^ g.graphId)
+      case HopsVariant(mode, imp, seed) =>
+        graft.trees.LocalEasy.hopsVariantEmbeds(h, gt, imp, seed ^ g.graphId, mode)
       case AbsImportant(t) =>
         graft.trees.LocalEasy.importanceCount(h, gt) >= t
       case RelImportant(mu) =>

@@ -356,6 +356,23 @@ object MiningQueries {
         .orderBy("size", "cstring")
     }),
 
+    // the hops_simple / hops_simplerandom / hops_simplematching comparison
+    // variants (reference help "VARIANTS OF INCOMPLETE EMBEDDING OPERATORS";
+    // subtreeIsomorphismSampling.c:39,110,249) on the same uniform-label
+    // ring DB: the uniform root image always label-matches and every
+    // assignment step has >= 1 fitting free neighbor (rings; and on the
+    // n=2 path graphs the size-3 pattern fails under EVERY rooting), so
+    // each sampler deterministically reproduces the exact miner — one hard
+    // oracle for the whole variant family.
+    "f_lwg_mine_hops_variants" -> ((s, dir) => {
+      val (v, e) = ringMinerDB(s, dir)
+      (0 to 2).map { m =>
+        graft.mining.FrequentSubtrees.mine(s, v, e, threshold = 1L, maxPatternSize = 3,
+          operator = graft.mining.FrequentSubtrees.HopsVariant(m, importance = 4, seed = 5150L + m))
+          .withColumn("variant", lit(m.toLong))
+      }.reduce(_ unionAll _).orderBy("variant", "size", "cstring")
+    }),
+
     // sample-ONCE ps operator (reference help "ps": spanning trees sampled
     // "only once for each transaction graph" — the apriori-PRESERVING
     // operator of ML'18/'19) on the cyclic ring DB: every spanning tree of
@@ -883,6 +900,12 @@ object MiningQueries {
     "f_lwg_mine_hops" -> ringMinerOracleSql,
     // ps/bps: on uniform rings every sampled spanning tree is an n-path, so
     // the sample-once miners deterministically equal the exact one.
+    "f_lwg_mine_hops_variants" ->
+      s"""WITH base AS ($ringMinerOracleSql)
+         |SELECT base.size, base.cstring, base.support, v.variant
+         |FROM base CROSS JOIN (VALUES (0::BIGINT), (1::BIGINT), (2::BIGINT)) v(variant)
+         |ORDER BY v.variant, base.size, base.cstring""".stripMargin,
+
     "f_lwg_mine_ps" -> ringMinerOracleSql,
     "f_lwg_mine_bps" -> ringMinerOracleSql,
 

@@ -439,4 +439,98 @@ object LocalEasy {
     for (i <- 0 until importance) s += hopsAttempt(h, g, new Random(seed + i))
     s / importance
   }
+
+  /** Assignment modes of the `hops_simple*` comparison variants. */
+  object HopsMode {
+    val FirstFit = 0      // hops_simple
+    val ShuffledImage = 1 // hops_simplerandom
+    val Matching = 2      // hops_simplematching
+  }
+
+  /** One attempt of the reference's `hops_simple` variant family (reference
+    * `subtreeIsomorphismSampling.c:39` recursiveSubtreeIsomorphismSampler,
+    * `:110` ...WithShuffledImage, `:249` ...WithMatching; help
+    * "VARIANTS OF INCOMPLETE EMBEDDING OPERATORS"): root the pattern at a
+    * uniform vertex and map it to a uniform vertex of g, REJECTING on label
+    * mismatch (unlike [[hopsAttempt]], which draws among label-matching
+    * images — the variants pay the label-miss probability instead), then
+    * embed all of a vertex's (shuffled) unassigned children before
+    * recursing, with NO backtracking ever. Children are assigned by mode:
+    *
+    *  - [[HopsMode.FirstFit]] (`hops_simple`): each child takes the first
+    *    free image neighbor with matching edge + vertex label, in the
+    *    image's fixed adjacency order;
+    *  - [[HopsMode.ShuffledImage]] (`hops_simplerandom`): same, image
+    *    neighbors shuffled first (the reference's own TODO at `:46` — a
+    *    single pattern child otherwise sees a deterministic scan);
+    *  - [[HopsMode.Matching]] (`hops_simplematching`): a maximum bipartite
+    *    matching between the unassigned children and the free image
+    *    neighbors (compatible = edge + vertex label match), built over
+    *    both shuffled orders; the attempt survives iff the matching
+    *    saturates the children, and assigns per the matching.
+    *
+    * All three are one-sided (a success certifies a real embedding);
+    * per-call resampling means none preserves the apriori property. */
+  def hopsVariantAttempt(h: LTree, g: LTree, rnd: Random, mode: Int): Boolean = {
+    if (h.n == 0) return true
+    if (g.n == 0) return false
+    val root = rnd.nextInt(h.n)
+    val w0 = rnd.nextInt(g.n)
+    if (g.vlabels(w0) != h.vlabels(root)) return false
+    val mapping = Array.fill(h.n)(-1)
+    val used = Array.fill(g.n)(false)
+    mapping(root) = w0; used(w0) = true
+    def rec(u: Int): Boolean = {
+      val kids = rnd.shuffle(h.adj(u).filter { case (c, _) => mapping(c) < 0 })
+      if (kids.isEmpty) return true
+      val imgs0 = g.adj(mapping(u))
+      val imgs = if (mode == HopsMode.FirstFit) imgs0 else rnd.shuffle(imgs0)
+      if (mode == HopsMode.Matching) {
+        val left = kids.toIndexedSeq
+        val right = imgs.toIndexedSeq
+        def compat(i: Int, j: Int): Boolean = {
+          val (c, el) = left(i); val (w, wel) = right(j)
+          !used(w) && wel == el && g.vlabels(w) == h.vlabels(c)
+        }
+        // augmenting-path maximum matching (reference bipartiteMatching.c,
+        // via makeBipartiteInstanceFromVertices) — which maximum matching is
+        // found depends on the two shuffles, the variant's randomness source
+        val matchR = Array.fill(right.size)(-1)
+        def augment(i: Int, seen: Array[Boolean]): Boolean = {
+          var j = 0
+          while (j < right.size) {
+            if (!seen(j) && compat(i, j)) {
+              seen(j) = true
+              if (matchR(j) < 0 || augment(matchR(j), seen)) { matchR(j) = i; return true }
+            }
+            j += 1
+          }
+          false
+        }
+        var saturated = 0
+        for (i <- left.indices) if (augment(i, Array.fill(right.size)(false))) saturated += 1
+        if (saturated < left.size) return false
+        for (j <- right.indices if matchR(j) >= 0) {
+          val c = left(matchR(j))._1; val w = right(j)._1
+          mapping(c) = w; used(w) = true
+        }
+      } else {
+        for ((c, el) <- kids) {
+          imgs.find { case (w, wel) =>
+            !used(w) && wel == el && g.vlabels(w) == h.vlabels(c)
+          } match {
+            case Some((w, _)) => mapping(c) = w; used(w) = true
+            case None => return false
+          }
+        }
+      }
+      kids.forall { case (c, _) => rec(c) }
+    }
+    rec(root)
+  }
+
+  /** Boolean `hops_simple*` operator: any of `importance` seeded attempts
+    * embeds (reference `lwm_embeddingOperators.c` variant dispatch). */
+  def hopsVariantEmbeds(h: LTree, g: LTree, importance: Int, seed: Long, mode: Int): Boolean =
+    (0 until importance).exists(i => hopsVariantAttempt(h, g, new Random(seed + i), mode))
 }

@@ -245,4 +245,49 @@ class LocalEasySpec extends AnyFunSuite {
     val bpsShallow = mineWith(graft.mining.FrequentSubtrees.BpsSampledOnce(1, 78L), maxSize = 2)
     assert(bps.filter(_._1 <= 2) == bpsShallow)
   }
+
+  test("hopsVariantAttempt: one-sided, deterministic, and complete on rings") {
+    import scala.util.Random
+    val bowtieL = ltree(Seq.fill(5)("o"), bowtie.map { case (a, b) => (a.toInt, b.toInt, "e") })
+    val star3 = ltree(Seq("o", "o", "o", "o"), Seq((0, 1, "e"), (0, 2, "e"), (0, 3, "e")))
+    for (mode <- 0 to 2) {
+      // one-sided: every success certifies a real subgraph embedding
+      for (seed <- 0 until 100; (h, g) <- Seq(path(3) -> ring(5), star3 -> ring(6),
+          star3 -> bowtieL, path(6) -> ring(5))) {
+        val ok = LocalEasy.hopsVariantAttempt(h, g, new Random(seed), mode)
+        if (ok) assert(LocalEasy.treeIntoGraphEmbeds(h, g), s"mode=$mode seed=$seed")
+      }
+      // impossible embeddings never succeed
+      assert(!LocalEasy.hopsVariantEmbeds(path(6), ring(5), 50, 1L, mode))
+      assert(!LocalEasy.hopsVariantEmbeds(star3, ring(6), 50, 1L, mode))
+      // deterministic under the seed
+      val a = (0 until 30).map(i => LocalEasy.hopsVariantAttempt(path(3), bowtieL, new Random(i), mode))
+      val b = (0 until 30).map(i => LocalEasy.hopsVariantAttempt(path(3), bowtieL, new Random(i), mode))
+      assert(a == b)
+      // on uniform-label rings EVERY attempt succeeds (each assignment step
+      // has >= 1 fitting free neighbor) — the f_lwg_mine_hops_variants
+      // oracle's soundness argument
+      for (seed <- 0 until 50; n <- Seq(3, 4, 7); k <- Seq(2, 3))
+        assert(LocalEasy.hopsVariantAttempt(path(k), ring(n), new Random(seed), mode))
+    }
+  }
+
+  test("hops variants: image shuffling lifts first-fit's deterministic-scan misses") {
+    import scala.util.Random
+    // broom: hub 0 with dead-end leaf 1 (FIRST in adj order) and path 0-2-3;
+    // rooting P3 at an end with image 0 or 2 always fails under first-fit
+    // (the scan commits to the dead end) but succeeds for some image
+    // shuffle — so over a fixed seed set the shuffled-image and matching
+    // variants strictly beat hops_simple, the variant's raison d'etre
+    // (reference subtreeIsomorphismSampling.c:46 TODO).
+    val broom = ltree(Seq.fill(4)("o"), Seq((0, 2, "e"), (0, 1, "e"), (2, 3, "e")))
+    def successes(mode: Int): Int =
+      (0 until 200).count(s => LocalEasy.hopsVariantAttempt(path(3), broom, new Random(s), mode))
+    val simple = successes(LocalEasy.HopsMode.FirstFit)
+    val shuffled = successes(LocalEasy.HopsMode.ShuffledImage)
+    val matching = successes(LocalEasy.HopsMode.Matching)
+    assert(simple > 0 && simple < 200)
+    assert(shuffled > simple)
+    assert(matching > simple)
+  }
 }
