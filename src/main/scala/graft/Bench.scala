@@ -107,6 +107,24 @@ object Bench {
     val scaling = scala.collection.mutable.Map[String, Double]()
     val notes = new StringBuilder
 
+    // Full-precision record as a repo sidecar the driver or judge can ingest
+    // whole (round-3 verdict #1/#3). Written at EVERY phase boundary, not
+    // only at exit: the harness process can be killed mid-protocol (it is a
+    // child of a fallible driver session), and a partial record with phase-1
+    // timings + completed pairs beats an empty file.
+    def jline(fmt: Double => String): String = {
+      val qs = queryResults.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val total = queryResults.map(_._2).filter(_ >= 0).sum
+      val extra = if (scaling.isEmpty) "" else {
+        val s = scaling.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
+        s""","scaling":{$s}"""
+      }
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$extra}"""
+    }
+    def dumpSidecar(): Unit =
+      try Files.writeString(Paths.get("/root/repo/BENCH_LAST.json"), jline(_.toString) + "\n")
+      catch { case _: Throwable => () }
+
     try {
       // ---- phase 1: query timings (time-boxed to a third of the budget) ----
       val qBudget = math.min(600.0, (deadline - t0) / 4)
@@ -177,11 +195,12 @@ object Bench {
             out
           }
         }
+        dumpSidecar() // phase-1 record survives a later kill
         // ---- phase 2: bench edge table + static structures (same session) ----
         val benchEdgesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EDGES", "/tmp/graft_bench_edges_12m")
         ensureBenchInputs(spark, benchEdgesPath)
         spark.stop()
-        runScaling(benchEdgesPath, scaling, notes, remaining _)
+        runScaling(benchEdgesPath, scaling, notes, remaining _, dumpSidecar _)
       } else {
         val benchEdgesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EDGES", "/tmp/graft_bench_edges_12m")
         if (!Files.exists(Paths.get(benchEdgesPath + "_static", "verts", "_SUCCESS"))) {
@@ -196,7 +215,7 @@ object Bench {
           ensureBenchInputs(spark, benchEdgesPath)
           spark.stop()
         }
-        runScaling(benchEdgesPath, scaling, notes, remaining _)
+        runScaling(benchEdgesPath, scaling, notes, remaining _, dumpSidecar _)
       }
     } catch {
       case e: Throwable => notes.append(s"bench error: ${e.getMessage}\n")
@@ -204,24 +223,12 @@ object Bench {
 
     // Contract line on stdout (values rounded to keep the line inside the
     // driver's retained stdout tail — round 3's full-precision line was
-    // truncated and the round's record survived only as an unparseable tail)
-    // PLUS the identical full-precision record as a repo sidecar the driver
-    // or judge can ingest whole (round-3 verdict #1/#3).
-    def jline(fmt: Double => String): String = {
-      val qs = queryResults.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      val total = queryResults.map(_._2).filter(_ >= 0).sum
-      val extra = if (scaling.isEmpty) "" else {
-        val s = scaling.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
-        s""","scaling":{$s}"""
-      }
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$extra}"""
-    }
+    // truncated and the round's record survived only as an unparseable tail).
     def compact(v: Double): String =
       if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
       else if (v != 0 && math.abs(v) < 0.001) f"$v%.3e" // convergence deltas
       else f"$v%.3f"
-    try Files.writeString(Paths.get("/root/repo/BENCH_LAST.json"), jline(_.toString) + "\n")
-    catch { case _: Throwable => () }
+    dumpSidecar()
     if (notes.nonEmpty) System.err.println("[bench notes]\n" + notes)
     println(jline(compact))
   }
@@ -243,9 +250,12 @@ object Bench {
       graft.algo.PageRank.writeStatic(spark, spark.read.parquet(benchEdgesPath), staticPath)
   }
 
-  /** Phases 3+4. Mutates `scaling`; writes BENCH.md. */
+  /** Phases 3+4. Mutates `scaling`; writes BENCH.md. `checkpoint` flushes the
+    * sidecar record — called after every completed pair and after the
+    * convergence run so a mid-protocol kill still leaves the full record of
+    * everything measured so far. */
   private def runScaling(edgesPath: String, scaling: scala.collection.mutable.Map[String, Double],
-      notes: StringBuilder, remaining: () => Double): Unit = {
+      notes: StringBuilder, remaining: () => Double, checkpoint: () => Unit): Unit = {
     if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) return
     val lowSpec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOW", "1x4")
     val highSpec = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIGH", "4x4")
@@ -262,6 +272,39 @@ object Bench {
 
     val runsLow = scala.collection.mutable.ArrayBuffer[Run]()
     val runsHigh = scala.collection.mutable.ArrayBuffer[Run]()
+
+    // Recompute the equal-count picks + derived scaling entries from the runs
+    // so far, rewrite BENCH.md, and flush the sidecar. Cheap; called after
+    // every pair so each artifact is always current.
+    def refresh(conv: Option[Run]): (Int, Option[Run], Option[Run]) = {
+      val nRuns = math.min(runsLow.size, runsHigh.size)
+      val pickLow = runsLow.take(nRuns).sortBy(-_.epsMin).headOption
+      val pickHigh = runsHigh.take(nRuns).sortBy(-_.epsMin).headOption
+      for (rL <- pickLow; rH <- pickHigh) {
+        val ratio = coresOf(highSpec).toDouble / coresOf(lowSpec)
+        scaling ++= Seq(
+          "pr_tp_low" -> rL.epsMin, "pr_tp_high" -> rH.epsMin,
+          "pr_eff" -> (rH.epsMin / rL.epsMin) / ratio,
+          "pr_tp_low_p25" -> rL.epsP25, "pr_tp_high_p25" -> rH.epsP25,
+          "pr_eff_p25" -> (rH.epsP25 / rL.epsP25) / ratio,
+          "pr_tp_low_median" -> rL.epsMed, "pr_tp_high_median" -> rH.epsMed,
+          "pr_cpu_eff" -> rL.cpuPerIter / rH.cpuPerIter,
+          "pr_cores_low" -> coresOf(lowSpec).toDouble, "pr_cores_high" -> coresOf(highSpec).toDouble,
+          "pr_setup_low" -> rL.setup, "pr_setup_high" -> rH.setup,
+          "pr_steal_low" -> rL.steal, "pr_steal_high" -> rH.steal,
+          "pr_cpu_per_iter_low" -> rL.cpuPerIter, "pr_cpu_per_iter_high" -> rH.cpuPerIter,
+          "pr_edges" -> rL.edges.toDouble, "pr_runs_per_level" -> nRuns.toDouble)
+      }
+      conv.foreach { c =>
+        scaling ++= Seq("pr_conv_iters" -> c.iters.toDouble, "pr_conv_tp" -> c.epsMin,
+          "pr_conv_tp_p25" -> c.epsP25, "pr_conv_delta" -> c.delta, "pr_conv_steal" -> c.steal)
+      }
+      writeBenchMd(lowSpec, highSpec, convSpec, parts, scaleIters,
+        runsLow.toSeq, runsHigh.toSeq, nRuns, pickLow, pickHigh, conv, scaling.toMap, notes.toString)
+      checkpoint()
+      (nRuns, pickLow, pickHigh)
+    }
+
     // Reserve time for the convergence run; each pair costs roughly
     // (lowIter + highIter + 2*setup); measure the first pair, then decide.
     val convReserve = 420.0
@@ -288,42 +331,15 @@ object Bench {
       }
       pairCost = nowSecs - pT0
       pair += 1
+      refresh(None) // equal run counts per level for the scaling pick (ADVICE round 1)
     }
-
-    // equal run counts per level for the scaling pick (ADVICE round 1)
-    val nRuns = math.min(runsLow.size, runsHigh.size)
-    val pickLow = runsLow.take(nRuns).sortBy(-_.epsMin).headOption
-    val pickHigh = runsHigh.take(nRuns).sortBy(-_.epsMin).headOption
 
     // ---- phase 4: convergence on the full core budget ----
     val conv = if (remaining() > 240)
       workerRun(convSpec, coresOf(convSpec), heapGb, edgesPath, maxIter = 60, tol = 1e-6,
         parts, aqe, timeoutSecs = math.max(200, remaining().toLong - 30))
     else None
-
-    for (rL <- pickLow; rH <- pickHigh) {
-      val ratio = coresOf(highSpec).toDouble / coresOf(lowSpec)
-      val eff = (rH.epsMin / rL.epsMin) / ratio
-      val effP25 = (rH.epsP25 / rL.epsP25) / ratio
-      val cpuEff = rL.cpuPerIter / rH.cpuPerIter
-      scaling ++= Seq(
-        "pr_tp_low" -> rL.epsMin, "pr_tp_high" -> rH.epsMin, "pr_eff" -> eff,
-        "pr_tp_low_p25" -> rL.epsP25, "pr_tp_high_p25" -> rH.epsP25, "pr_eff_p25" -> effP25,
-        "pr_tp_low_median" -> rL.epsMed, "pr_tp_high_median" -> rH.epsMed,
-        "pr_cpu_eff" -> cpuEff,
-        "pr_cores_low" -> coresOf(lowSpec).toDouble, "pr_cores_high" -> coresOf(highSpec).toDouble,
-        "pr_setup_low" -> rL.setup, "pr_setup_high" -> rH.setup,
-        "pr_steal_low" -> rL.steal, "pr_steal_high" -> rH.steal,
-        "pr_cpu_per_iter_low" -> rL.cpuPerIter, "pr_cpu_per_iter_high" -> rH.cpuPerIter,
-        "pr_edges" -> rL.edges.toDouble, "pr_runs_per_level" -> nRuns.toDouble)
-    }
-    conv.foreach { c =>
-      scaling ++= Seq("pr_conv_iters" -> c.iters.toDouble, "pr_conv_tp" -> c.epsMin,
-        "pr_conv_tp_p25" -> c.epsP25, "pr_conv_delta" -> c.delta, "pr_conv_steal" -> c.steal)
-    }
-
-    writeBenchMd(lowSpec, highSpec, convSpec, parts, scaleIters,
-      runsLow.toSeq, runsHigh.toSeq, nRuns, pickLow, pickHigh, conv, scaling.toMap, notes.toString)
+    refresh(conv)
   }
 
   private def fmtRun(r: Run): String =
@@ -346,7 +362,7 @@ object Bench {
         f"sustained ${c.epsMin / 1e6}%.2fM edges/sec/iteration (p25 ${c.epsP25 / 1e6}%.2fM, steal ${c.steal}%.3f).")
       .getOrElse("convergence run skipped (deadline)")
     val md =
-      f"""# BENCH — PageRank throughput & scaling (BASELINE.md protocol, round 3)
+      f"""# BENCH — PageRank throughput & scaling (BASELINE.md protocol, round 4)
          |
          |Input: deterministic power-law edge table (`Generators.powerLawEdges`,
          |seed=42), $edges%,d directed edges after self-loop removal. Damped power
