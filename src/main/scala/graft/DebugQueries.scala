@@ -19,8 +19,11 @@ object DebugQueries {
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         val rows = df.count()
-        println(f"$name: rows=$rows secs=${(System.nanoTime() - t0) / 1e9}%.1f")
-        df.show(5, truncate = 60)
+        val resid = spark.sparkContext.getPersistentRDDs
+        println(f"$name: rows=$rows secs=${(System.nanoTime() - t0) / 1e9}%.1f residualRDDs=${resid.size}")
+        if (sys.env.contains("GRAFT_DEBUG_SHOW")) df.show(5, truncate = 60)
+        spark.sharedState.cacheManager.clearCache()
+        resid.values.foreach(_.unpersist(false))
       } catch { case e: Throwable => println(s"$name FAILED: $e") }
     }
     spark.stop()

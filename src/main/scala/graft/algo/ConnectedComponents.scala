@@ -50,7 +50,9 @@ object ConnectedComponents {
       // sets here so equal counts + empty anti-join is an exact test.
       val sameCount = ss.count() == e.count()
       converged = sameCount && ss.join(e, Seq("src", "dst"), "left_anti").isEmpty
-      if (e ne initial) e.unpersist(false)
+      // `ss` is already checkpoint-materialized, so the superseded round's
+      // CHECKPOINT blocks can be freed (plain unpersist cannot reach them)
+      if (e ne initial) GraphOps.releaseCheckpoint(e)
       e = ss
       round += 1
       if (sys.props.contains("graft.cc.verbose") || sys.env.contains("GRAFT_CC_VERBOSE"))
@@ -58,9 +60,17 @@ object ConnectedComponents {
     }
 
     // Star edges point child -> root (src > dst); roots label themselves.
+    // Eagerly checkpointed so every internal frame (the edge cache, the
+    // vertex set, the final star round) can be released before returning —
+    // the caller gets exactly ONE materialized result frame, same contract
+    // as the miners' output.
     val labels = allVerts
       .join(e.select(col("src").as("vid"), col("dst").as("component")), Seq("vid"), "left")
       .select(col("vid"), coalesce(col("component"), col("vid")).as("component"))
+      .localCheckpoint(true)
+    initial.unpersist(false)
+    allVerts.unpersist(false)
+    if (e ne initial) GraphOps.releaseCheckpoint(e)
     labels
   }
 

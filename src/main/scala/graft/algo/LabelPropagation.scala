@@ -63,7 +63,9 @@ object LabelPropagation {
         .select(col("vid"), xxhash64(col("signature")).as("label"))
         .repartition(p, col("vid"))
         .localCheckpoint(true) // truncate per-round lineage (see PageRank)
-      labels.unpersist(false)
+      // superseded round's CHECKPOINT blocks too (plain unpersist is a no-op
+      // on a localCheckpoint'd frame — see GraphOps.releaseCheckpoint)
+      GraphOps.releaseCheckpoint(labels)
       labels = next
       i += 1
     }
@@ -108,7 +110,7 @@ object LabelPropagation {
           coalesce(col("hcnt"), lit(0L))).as("label"))
         .repartition(p, col("vid"))
         .localCheckpoint(true)
-      labels.unpersist(false)
+      GraphOps.releaseCheckpoint(labels) // checkpoint blocks, not just cache
       labels = next
       i += 1
     }
@@ -149,7 +151,7 @@ object LabelPropagation {
         .select(col("vid"), coalesce(col("newLabel"), col("label")).as("label"))
         .repartition(p, col("vid"))
         .localCheckpoint(true) // truncate per-round lineage (see PageRank)
-      labels.unpersist(false)
+      GraphOps.releaseCheckpoint(labels) // checkpoint blocks, not just cache
       labels = next
       i += 1
     }

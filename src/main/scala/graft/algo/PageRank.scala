@@ -329,13 +329,7 @@ object PageRank {
     * their blocks on the INTERNAL checkpointed RDD inside the LogicalRDD
     * leaf (Dataset.unpersist cannot reach it — without this, every
     * iteration's ~|V|-row checkpoint stays resident until a driver GC). */
-  private def releaseVector(df: DataFrame): Unit = {
-    df.unpersist(false)
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
-  }
+  private def releaseVector(df: DataFrame): Unit = GraphOps.releaseCheckpoint(df)
 
   /** Fixed-iteration variant (no convergence action inside the loop beyond
     * the dangling-mass pass) used by oracle-comparable queries where the
@@ -362,7 +356,7 @@ object PageRank {
       val nr = verts.join(contribs, Seq("vid"), "left")
         .select(col("vid"), (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"), col("dangling"))
         .localCheckpoint(true)
-      ranks.unpersist(false)
+      releaseVector(ranks) // the superseded vector's CHECKPOINT blocks too
       ranks = nr
       i += 1
     }

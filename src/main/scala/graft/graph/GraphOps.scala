@@ -22,6 +22,22 @@ object GraphOps {
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
 
+  /** Free the storage behind a superseded iteration frame. Cached plans
+    * unpersist through the CacheManager, but a localCheckpoint'd frame holds
+    * its blocks on the INTERNAL checkpointed RDD inside the LogicalRDD leaf,
+    * which `Dataset.unpersist` cannot reach — without this, every superseded
+    * per-iteration checkpoint stays resident until a driver GC collects the
+    * weak reference (the leak class behind round 2's eviction-recompute
+    * cascades). Call ONLY on frames no still-live plan references: a
+    * released checkpoint's lineage is truncated and cannot be recomputed. */
+  private[graft] def releaseCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit = {
+    ds.unpersist(false)
+    ds.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
   /** Both directed half-edges per undirected edge (reference `loading.c:418-425`). */
   def symmetrize(edges: DataFrame): DataFrame = {
     val e = canonicalEdges(edges)

@@ -3,6 +3,7 @@ package graft.mining
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.graph.GraphOps
 
 /** Levelwise (apriori) frequent subtree mining — the reference's flagship
   * `lwg` executable re-expressed as a driver-side level loop over DataFrames
@@ -294,9 +295,13 @@ object FrequentSubtrees {
         .filter { case ((vl, es, _, _), g) => embedsWith(operator, vl, es, g) }
         .map { case ((_, _, key, gid), _) => SupportPair(key, gid) }
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // Eager checkpoint (not persist): truncates freqKeys' lineage so the
+      // `results` union chain no longer reaches back through matched/
+      // survivors into the superseded level frames — which makes it SAFE to
+      // release those frames' checkpoint blocks immediately below.
       val freqKeys = matched.groupBy("key").agg(count(lit(1)).as("support"))
         .where(col("support") >= threshold)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
 
       results = results.union(
         freqKeys.select(lit(level).as("size"), col("key").as("cstring"), col("support")))
@@ -309,8 +314,10 @@ object FrequentSubtrees {
       nPatterns = patternsDS.count()
       supportDS = matched.join(freqKeys.select("key"), Seq("key"), "left_semi")
         .as[SupportPair].localCheckpoint(true)
-      oldSupport.unpersist(false)
-      oldPatterns.unpersist(false)
+      // superseded level frames: free the CHECKPOINT blocks, not just the
+      // cache entry (plain unpersist cannot reach them — GraphOps helper)
+      GraphOps.releaseCheckpoint(oldSupport)
+      GraphOps.releaseCheckpoint(oldPatterns)
       matched.unpersist(false)
       survivors.unpersist(false)
       levelCaches += freqKeys // feeds `results`; released after materialization
@@ -319,10 +326,13 @@ object FrequentSubtrees {
 
     graphs.unpersist(false)
     vertOcc.unpersist(false)
-    val out = results.orderBy("size", "cstring").persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize before the per-level caches are dropped
+    // One eager materialized result frame for the caller (same contract as
+    // the graph loops' outputs); every internal frame is released below.
+    val out = results.orderBy("size", "cstring").localCheckpoint(true)
     freq1.unpersist(false)
-    levelCaches.foreach(_.unpersist(false))
+    GraphOps.releaseCheckpoint(patternsDS)
+    GraphOps.releaseCheckpoint(supportDS)
+    levelCaches.foreach(GraphOps.releaseCheckpoint)
     out
   }
 
@@ -506,9 +516,11 @@ object FrequentSubtrees {
         .filter { case ((vl, es, _, _), g) => embedsRooted(vl, es, g) }
         .map { case ((_, _, key, gid), _) => SupportPair(key, gid) }
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // Eager checkpoint so `results` stops referencing the superseded
+      // level frames (see the identical discipline in [[mine]]).
       val freqKeys = matched.groupBy("key").agg(count(lit(1)).as("support"))
         .where(col("support") >= threshold)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
 
       results = results.union(
         freqKeys.select(lit(level).as("size"), col("key").as("cstring"), col("support")))
@@ -519,8 +531,8 @@ object FrequentSubtrees {
       nPatterns = patternsDS.count()
       supportDS = matched.join(freqKeys.select("key"), Seq("key"), "left_semi")
         .as[SupportPair].localCheckpoint(true)
-      oldSupport.unpersist(false)
-      oldPatterns.unpersist(false)
+      GraphOps.releaseCheckpoint(oldSupport)
+      GraphOps.releaseCheckpoint(oldPatterns)
       matched.unpersist(false)
       survivors.unpersist(false)
       levelCaches += freqKeys
@@ -529,10 +541,11 @@ object FrequentSubtrees {
 
     graphs.unpersist(false)
     vertOcc.unpersist(false)
-    val out = results.orderBy("size", "cstring").persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize before the per-level caches are dropped
+    val out = results.orderBy("size", "cstring").localCheckpoint(true)
     freq1.unpersist(false)
-    levelCaches.foreach(_.unpersist(false))
+    GraphOps.releaseCheckpoint(patternsDS)
+    GraphOps.releaseCheckpoint(supportDS)
+    levelCaches.foreach(GraphOps.releaseCheckpoint)
     out
   }
 
@@ -575,17 +588,25 @@ object FrequentSubtrees {
     val bcEdges = spark.sparkContext.broadcast(freqEdges)
     var level = 2
     var n = patternsDS.count()
+    // Unlike [[mine]], the `results` union chain here references EVERY
+    // level's checkpoint directly (there is no per-level freqKeys frame), so
+    // superseded levels must stay resident until the final materialization —
+    // they are collected and released together after `out` is checkpointed.
+    val levelCheckpoints = scala.collection.mutable.ArrayBuffer[Dataset[Pattern]]()
     while (level <= maxPatternSize && n > 0) {
       val next = patternsDS.flatMap(pat => extensionsOf(pat, bcEdges.value))
         .dropDuplicates("key").localCheckpoint(true)
-      val old = patternsDS
+      if (levelCheckpoints.isEmpty) patternsDS.unpersist(false) // the cached seed
       patternsDS = next
-      n = patternsDS.count()
-      old.unpersist(false)
+      levelCheckpoints += next
+      n = next.count()
       results = results.union(next.select(lit(level).as("size"), col("key").as("cstring")))
       level += 1
     }
-    results.orderBy("size", "cstring")
+    val out = results.orderBy("size", "cstring").localCheckpoint(true)
+    if (levelCheckpoints.isEmpty) patternsDS.unpersist(false)
+    levelCheckpoints.foreach(GraphOps.releaseCheckpoint)
+    out
   }
 
   // ------------------------------------------------------------- DFS miner
