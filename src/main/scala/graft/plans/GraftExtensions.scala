@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** Session extensions registering the engine's native expressions with the
+  * SQL function registry, so `spark.sql("... graft_dot(a, b) ...")` works
+  * next to the DataFrame-level [[graft.functions.VectorFunctions]] entry
+  * points. Install with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * The engine's operators do NOT depend on this registration (they wrap
+  * the expressions directly), so they run unchanged on sessions built
+  * without it — the extension only adds the SQL-surface name. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"graft_dot expects 2 arguments, got ${children.length}")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

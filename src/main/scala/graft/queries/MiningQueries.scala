@@ -366,11 +366,29 @@ object MiningQueries {
     // oracle for the whole variant family.
     "f_lwg_mine_hops_variants" -> ((s, dir) => {
       val (v, e) = ringMinerDB(s, dir)
-      (0 to 2).map { m =>
-        graft.mining.FrequentSubtrees.mine(s, v, e, threshold = 1L, maxPatternSize = 3,
-          operator = graft.mining.FrequentSubtrees.HopsVariant(m, importance = 4, seed = 5150L + m))
-          .withColumn("variant", lit(m.toLong))
-      }.reduce(_ unionAll _).orderBy("variant", "size", "cstring")
+      // The three variant mines are independent multi-job driver loops that
+      // individually underutilize the executor pool — run them CONCURRENTLY
+      // (results are seeded/deterministic per variant, so the union is
+      // order-independent up to the final sort). The caller's job group is
+      // a thread-local, so it is re-established inside each worker thread:
+      // a watchdog cancel of the group reaches all three loops.
+      val sc = s.sparkContext
+      val group = sc.getLocalProperty("spark.jobGroup.id")
+      val desc = sc.getLocalProperty("spark.job.description")
+      val interrupt = sc.getLocalProperty("spark.job.interruptOnCancel") == "true"
+      import scala.concurrent.{Await, Future}
+      implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+      val mined = (0 to 2).map { m =>
+        Future {
+          if (group != null) sc.setJobGroup(group, Option(desc).getOrElse(group), interrupt)
+          try graft.mining.FrequentSubtrees.mine(s, v, e, threshold = 1L, maxPatternSize = 3,
+            operator = graft.mining.FrequentSubtrees.HopsVariant(m, importance = 4, seed = 5150L + m))
+            .withColumn("variant", lit(m.toLong))
+          finally if (group == null) sc.clearJobGroup()
+        }
+      }
+      mined.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+        .reduce(_ unionAll _).orderBy("variant", "size", "cstring")
     }),
 
     // sample-ONCE ps operator (reference help "ps": spanning trees sampled

@@ -17,22 +17,19 @@ import org.apache.spark.sql.functions._
   * [[graft.dedup.Dedup.simHash]] applied to quantized vectors. */
 object Similarity {
 
+  import graft.functions.VectorFunctions.fastDot
+
   /** Cosine similarity of two float-array columns, computed in double
     * precision in array index order (portable across engines: bitwise equal
-    * to DuckDB's list_cosine_similarity on DOUBLE[]). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+    * to DuckDB's list_cosine_similarity on DOUBLE[]). Backed by the native
+    * codegen'd [[graft.functions.DotProduct]] expression — FP-identical to
+    * the `aggregate(zip_with(...))` formulation it replaced, minus the
+    * per-element interpreted-lambda dispatch. */
+  def cosine(a: Column, b: Column): Column =
+    fastDot(a, b) / (sqrt(fastDot(a, a)) * sqrt(fastDot(b, b)))
 
   /** Plain double-precision dot product in index order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = fastDot(a, b)
 
   /** (id, vec ARRAY<DOUBLE> normalized to unit length). cosine(a,b) ==
     * dot(norm(a), norm(b)) exactly when each element is divided by the same
@@ -40,8 +37,7 @@ object Similarity {
     * association, so oracle-checked queries use [[cosine]]; [[normalized]]
     * is the throughput path. */
   def normalized(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val nrm = sqrt(aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    val nrm = sqrt(fastDot(col(vecCol), col(vecCol)))
     vectors.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double") / nrm).as("vec"))
   }
@@ -105,9 +101,7 @@ object Similarity {
     * compatibility contract the cosine oracles rely on). */
   def signBits(vecCol: Column, m: Array[Array[Double]]): Seq[Column] =
     m.toSeq.map { row =>
-      val proj = aggregate(zip_with(vecCol, lit(row), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1)).otherwise(lit(0))
+      when(fastDot(vecCol, lit(row)) > 0, lit(1)).otherwise(lit(0))
     }
 
   /** IVF-style coarse bucket assignment — the producer of the bucket column
@@ -179,11 +173,8 @@ object Similarity {
   private def withNorm(vectors: DataFrame, idCol: String, vecCol: String,
       idAs: String, vecAs: String, nrmAs: String, keep: Seq[String] = Nil): DataFrame =
     vectors.select(Seq(col(idCol).cast("long").as(idAs), col(vecCol).as(vecAs),
-      sqrt(aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, v) => acc + v)).as(nrmAs)) ++ keep.map(col): _*)
+      sqrt(fastDot(col(vecCol), col(vecCol))).as(nrmAs)) ++ keep.map(col): _*)
 
   /** Double-precision dot product of float arrays in index order. */
-  private def dotCast(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def dotCast(a: Column, b: Column): Column = fastDot(a, b)
 }

@@ -53,14 +53,39 @@ object StreamReplay {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
     val table = freshName(name)
-    val q = transform(input.toDS())
-      .writeStream.format("memory").queryName(table).outputMode(mode).start()
+    // Replay-harness knobs, NOT operator semantics: the state-partition
+    // count is bound at stream start, and every micro-batch writes one
+    // state delta per partition — at replay scale (one memory-fed stream,
+    // ~10 triggers) 32 partitions is pure per-trigger overhead, and the
+    // default /tmp checkpoint dir pays disk fsyncs per delta. Production
+    // streams size partitions to the key cardinality and keep durable
+    // checkpoints; the replay restores the session conf on exit.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val ckptBase = (sys.env.get("SPARK_LOCAL_DIRS").toSeq ++ Seq("/dev/shm", "/tmp"))
+      .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.isDirectory(_)).get
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, s"graft-ckpt-$table-")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      for (b <- batches) { input.addData(b); q.processAllAvailable() }
-      // two sentinel batches: the first advances the watermark past every
-      // open timeout, the second forces the trigger in which they fire
-      for (s <- sentinels) { input.addData(s); q.processAllAvailable() }
-    } finally q.stop()
+      val q = transform(input.toDS())
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(mode).start()
+      try {
+        for (b <- batches) { input.addData(b); q.processAllAvailable() }
+        // two sentinel batches: the first advances the watermark past every
+        // open timeout, the second forces the trigger in which they fire
+        for (s <- sentinels) { input.addData(s); q.processAllAvailable() }
+      } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // best-effort checkpoint cleanup (tmpfs when SPARK_LOCAL_DIRS points
+      // at /dev/shm — do not leave state deltas pinned in shared memory)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
     spark.table(table)
   }
 
