@@ -311,42 +311,51 @@ object Bench {
     val convReserve = 420.0
     var pair = 0
     var pairCost = 900.0 // prior; replaced by the measured first pair
-    // at least minPairs pairs when the budget allows (best-of-n per level
-    // tightens the one-sided-noise estimate); keep retrying past that while
-    // a level has not yet seen a low-steal window OR the efficiency verdict
-    // is still marginal — round-4 observation: memory-bandwidth contention
-    // from a noisy neighbor inflates executor CPU/iteration WITHOUT showing
-    // up as hypervisor steal, so a low-steal-but-slow window can depress one
-    // level; more equal-count samples can only sharpen the min-warm floor.
-    def effMarginal: Boolean = scaling.get("pr_eff").forall(_ < 0.84)
-    while (pair < maxPairs && remaining() > pairCost + convReserve &&
-           (pair < minPairs ||
-            runsLow.forall(_.steal > stealOk) || runsHigh.forall(_.steal > stealOk) ||
-            effMarginal)) {
+    var conv: Option[Run] = None
+    def runPair(reserve: Double): Unit = {
       val pT0 = nowSecs
       workerRun(lowSpec, coresOf(lowSpec), heapGb, edgesPath, scaleIters, 0.0, parts, aqe,
-        timeoutSecs = math.max(240, remaining().toLong - convReserve.toLong)) match {
+        timeoutSecs = math.max(240, remaining().toLong - reserve.toLong)) match {
         case Some(r) => runsLow += r
           System.err.println(f"[bench] low $lowSpec: min=${r.epsMin / 1e6}%.2fM p25=${r.epsP25 / 1e6}%.2fM steal=${r.steal}%.3f")
         case None => notes.append(s"low run $pair failed/timeout\n")
       }
       workerRun(highSpec, coresOf(highSpec), heapGb, edgesPath, scaleIters, 0.0, parts, aqe,
-        timeoutSecs = math.max(240, remaining().toLong - convReserve.toLong)) match {
+        timeoutSecs = math.max(240, remaining().toLong - reserve.toLong)) match {
         case Some(r) => runsHigh += r
           System.err.println(f"[bench] high $highSpec: min=${r.epsMin / 1e6}%.2fM p25=${r.epsP25 / 1e6}%.2fM steal=${r.steal}%.3f")
         case None => notes.append(s"high run $pair failed/timeout\n")
       }
       pairCost = nowSecs - pT0
       pair += 1
-      refresh(None) // equal run counts per level for the scaling pick (ADVICE round 1)
+      refresh(conv) // equal run counts per level for the scaling pick (ADVICE round 1)
     }
 
-    // ---- phase 4: convergence on the full core budget ----
-    val conv = if (remaining() > 240)
+    // minPairs equal-count pairs first (best-of-n per level tightens the
+    // one-sided-noise estimate), reserving the convergence budget
+    while (pair < minPairs && remaining() > pairCost + convReserve) runPair(convReserve)
+
+    // ---- phase 4: convergence on the full core budget — runs BEFORE any
+    // extra retry pairs so a slow pair can never starve the headline
+    // (round-4 lesson: a marginal-efficiency retry ate the conv budget) ----
+    conv = if (remaining() > 240)
       workerRun(convSpec, coresOf(convSpec), heapGb, edgesPath, maxIter = 60, tol = 1e-6,
         parts, aqe, timeoutSecs = math.max(200, remaining().toLong - 30))
     else None
     refresh(conv)
+
+    // extra pairs with the leftover budget, while a level has not yet seen
+    // a low-steal window OR the efficiency verdict is still marginal —
+    // round-4 observation: memory-bandwidth contention from a noisy
+    // neighbor inflates executor CPU/iteration WITHOUT showing up as
+    // hypervisor steal, so a low-steal-but-slow window can depress one
+    // level; more equal-count samples can only sharpen the min-warm floor.
+    def effMarginal: Boolean = scaling.get("pr_eff").forall(_ < 0.84)
+    while (pair < maxPairs && remaining() > pairCost + 60 &&
+           (runsLow.forall(_.steal > stealOk) || runsHigh.forall(_.steal > stealOk) ||
+            effMarginal)) {
+      runPair(reserve = 60)
+    }
   }
 
   private def fmtRun(r: Run): String =

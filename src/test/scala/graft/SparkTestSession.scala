@@ -9,6 +9,7 @@ object SparkTestSession {
     .appName("graft-test")
     .withExtensions(new graft.plans.GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
