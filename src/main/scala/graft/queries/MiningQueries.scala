@@ -387,8 +387,14 @@ object MiningQueries {
           finally if (group == null) sc.clearJobGroup()
         }
       }
-      mined.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
-        .reduce(_ unionAll _).orderBy("variant", "size", "cstring")
+      val parts = mined.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+      // Collapse the three materialized per-variant results into ONE
+      // checkpoint-materialized frame and free theirs, so the query honors
+      // the miners' one-persisted-result contract (Bench sweeps for leaks).
+      val union = parts.reduce(_ unionAll _).orderBy("variant", "size", "cstring")
+        .localCheckpoint(true)
+      parts.foreach(graft.graph.GraphOps.releaseCheckpoint)
+      union
     }),
 
     // sample-ONCE ps operator (reference help "ps": spanning trees sampled
