@@ -285,7 +285,7 @@ object Bench {
     val scaleIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALEIT", "10").toInt
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXPAIRS", "3").toInt
     val minPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MINPAIRS", "2").toInt
-    val stealOk = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEALOK", "0.04").toDouble
+    val stealOk = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEALOK", "0.02").toDouble
     val heapGb = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "4").toInt
 
     val runsLow = scala.collection.mutable.ArrayBuffer[Run]()
@@ -367,7 +367,13 @@ object Bench {
     // neighbor inflates executor CPU/iteration WITHOUT showing up as
     // hypervisor steal, so a low-steal-but-slow window can depress one
     // level; more equal-count samples can only sharpen the min-warm floor.
-    def effMarginal: Boolean = scaling.get("pr_eff").forall(_ < 0.84)
+    // BOTH reported estimators must be comfortably over the bar before the
+    // harness stops early: round 4 shipped a pair set whose min-warm read
+    // 0.86 while the p25 estimator sat at 0.79 because one contaminated
+    // high-level run was never retried (its steal 0.037 squeaked under the
+    // old 0.04 gate).
+    def effMarginal: Boolean = scaling.get("pr_eff").forall(_ < 0.84) ||
+      scaling.get("pr_eff_p25").forall(_ < 0.82)
     while (pair < maxPairs && remaining() > pairCost + 60 &&
            (runsLow.forall(_.steal > stealOk) || runsHigh.forall(_.steal > stealOk) ||
             effMarginal)) {

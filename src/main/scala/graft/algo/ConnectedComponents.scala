@@ -38,8 +38,9 @@ object ConnectedComponents {
     allVerts.count()
 
     var e = initial
+    var eCount = e.count() // carried across rounds: one count job per round, not two
     var round = 0
-    var converged = e.isEmpty
+    var converged = eCount == 0L
     while (!converged && round < maxRounds) {
       // localCheckpoint truncates the per-round lineage growth (the iterative
       // analogue of GraphFrames' checkpoint interval); eager, so it also
@@ -48,15 +49,16 @@ object ConnectedComponents {
       val ss = smallStar(largeStar(e)).localCheckpoint(true)
       // Stable iff the (src,dst) set is unchanged; both sides are distinct
       // sets here so equal counts + empty anti-join is an exact test.
-      val sameCount = ss.count() == e.count()
-      converged = sameCount && ss.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      val ssCount = ss.count()
+      converged = ssCount == eCount && ss.join(e, Seq("src", "dst"), "left_anti").isEmpty
       // `ss` is already checkpoint-materialized, so the superseded round's
       // CHECKPOINT blocks can be freed (plain unpersist cannot reach them)
       if (e ne initial) GraphOps.releaseCheckpoint(e)
       e = ss
+      eCount = ssCount
       round += 1
       if (sys.props.contains("graft.cc.verbose") || sys.env.contains("GRAFT_CC_VERBOSE"))
-        println(f"[cc] round=$round edges=${ss.count()} converged=$converged secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+        println(f"[cc] round=$round edges=$ssCount converged=$converged secs=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
 
     // Star edges point child -> root (src > dst); roots label themselves.
