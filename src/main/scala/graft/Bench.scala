@@ -283,7 +283,10 @@ object Bench {
     val parts = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTS", "128").toInt
     val aqe = sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "0") == "1"
     val scaleIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALEIT", "10").toInt
-    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXPAIRS", "3").toInt
+    // 4 pairs fit the default deadline only if earlier phases ran fast; the
+    // remaining()-guard in the retry loop is what actually bounds the spend,
+    // so the cap exists to stop a permanently-noisy machine from looping.
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXPAIRS", "4").toInt
     val minPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MINPAIRS", "2").toInt
     val stealOk = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEALOK", "0.02").toDouble
     val heapGb = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "4").toInt
