@@ -35,6 +35,15 @@ import graft.graph.GraphOps
   */
 object FrequentSubtrees {
 
+  /** Hygiene counters for [[mineDfs]]'s per-expansion broadcasts (round-4
+    * verdict: `bc`/`bset` were created per expansion and never destroyed,
+    * accumulating driver+executor memory across a deep walk). Test-visible
+    * so the create==destroy invariant is asserted directly rather than by
+    * counting block-manager blocks, which Spark's own broadcast joins churn
+    * asynchronously. */
+  private[graft] val dfsBroadcastsCreated = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val dfsBroadcastsDestroyed = new java.util.concurrent.atomic.AtomicLong
+
   /** Embedding operator for the support-counting step — the reference's
     * `lwg -e` operator dispatch (`lwm_embeddingOperators.c:43-340`):
     *  - [[ExactSubtree]]: exact subtree iso, forest DBs only (reference
@@ -682,10 +691,13 @@ object FrequentSubtrees {
           visited ++= children.map(_.key)
           val bc = spark.sparkContext.broadcast(
             children.map(c => (c.vlabels, c.edges, c.key)))
+          dfsBroadcastsCreated.incrementAndGet()
+          var bsetOpt: Option[org.apache.spark.broadcast.Broadcast[Set[Long]]] = None
           val restricted = supOpt match {
             case Some(gids) =>
-              val set = gids.toSet
-              val bset = spark.sparkContext.broadcast(set)
+              val bset = spark.sparkContext.broadcast(gids.toSet)
+              dfsBroadcastsCreated.incrementAndGet()
+              bsetOpt = Some(bset)
               graphs.filter(g => bset.value.contains(g.graphId))
             case None => graphs
           }
@@ -694,6 +706,12 @@ object FrequentSubtrees {
               case (vl, es, key) if embedsWith(operator, vl, es, g) => (key, g.graphId)
             }
           }.collect()
+          // both broadcasts are fully consumed by the collect above; a deep
+          // DFS walk creates one pair per expansion, so they must not
+          // accumulate across the whole pattern-space walk (round-4 verdict)
+          bc.destroy()
+          dfsBroadcastsDestroyed.incrementAndGet()
+          bsetOpt.foreach { b => b.destroy(); dfsBroadcastsDestroyed.incrementAndGet() }
           val byKey = pairs.groupBy(_._1)
           val size = pat.vlabels.size + 1
           for (c <- children.sortBy(_.key).reverse) { // lex order popped first

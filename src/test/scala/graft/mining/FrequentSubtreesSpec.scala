@@ -133,6 +133,28 @@ class FrequentSubtreesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("DFS miner destroys its per-expansion broadcasts (no accumulation over the walk)") {
+    val graphs = Seq[(Long, Seq[String], Seq[(Int, Int, String)])](
+      (0L, Seq("a", "b", "a", "c"), Seq((0, 1, "x"), (1, 2, "x"), (2, 3, "y"))),
+      (1L, Seq("a", "b", "a"), Seq((0, 1, "x"), (1, 2, "x"))),
+      (2L, Seq("b", "a", "a", "a"), Seq((0, 1, "x"), (0, 2, "x"), (0, 3, "y"))),
+      (3L, Seq("c", "b", "a", "a"), Seq((0, 1, "y"), (1, 2, "x"), (1, 3, "x"))))
+    val verts = graphs.flatMap { case (g, vl, _) => vl.zipWithIndex.map { case (l, i) => (g, i.toLong, l) } }
+      .toDF("graph_id", "vid", "vlabel")
+    val edges = graphs.flatMap { case (g, _, es) => es.map { case (a, b, l) => (g, a.toLong, b.toLong, l) } }
+      .toDF("graph_id", "src", "dst", "elabel")
+    val created0 = FrequentSubtrees.dfsBroadcastsCreated.get()
+    val destroyed0 = FrequentSubtrees.dfsBroadcastsDestroyed.get()
+    // threshold 1 maximizes the pattern space -> many expansions, each of
+    // which creates a children broadcast and (under the support-set path)
+    // a support-id-set broadcast; all must be destroyed before return
+    FrequentSubtrees.mineDfs(spark, verts, edges, 1L, maxPatternSize = 4).collect()
+    val created = FrequentSubtrees.dfsBroadcastsCreated.get() - created0
+    val destroyed = FrequentSubtrees.dfsBroadcastsDestroyed.get() - destroyed0
+    assert(created >= 10, s"expected a deep walk (many expansions), saw only $created broadcasts")
+    assert(created == destroyed, s"DFS mine leaked broadcasts: created=$created destroyed=$destroyed")
+  }
+
   test("treeEnumeration: unlabeled free-tree counts 1,1,1,2 and alphabet filtering") {
     // single frequent label + single triple -> free trees up to iso by size
     val verts = Seq((0L, 0L, "o"), (0L, 1L, "o")).toDF("graph_id", "vid", "vlabel")
