@@ -1,8 +1,50 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 import graft.text.TextOps
+
+/** Pluggable hashing for the dedup pipeline: the pipeline SHAPE (shingle ->
+  * minhash -> band -> capped bucket join) is identical under either mode;
+  * only the hash primitive changes.
+  *
+  *  - [[Md5Hashing]] (default): md5-as-string, so every step is
+  *    reproducible in portable SQL — the DuckDB oracle mode.
+  *  - [[XxHashing]]: 64-bit xxhash64 longs — the production fast path
+  *    (no hex-string materialization, codegen'd long compares in the
+  *    joins/aggregations).
+  */
+sealed trait DedupHashing {
+  /** Per-token salted hash; minhash uses its ORDERING (any total order
+    * works, the two modes just pick different permutations). */
+  def tokenHash(c: Column, salt: Int): Column
+  /** Hash of one band's minhash columns into a bucket key. */
+  def bandHash(cols: Seq[Column]): Column
+  /** Join key for a raw shingle string ([[Dedup.ngramJaccard]]'s inverted
+    * index): identity in oracle mode, a 64-bit hash in production (the
+    * index joins longs instead of long strings; 64-bit collisions merge
+    * distinct shingles with probability ~n²/2⁶⁴ — negligible against the
+    * approximation already accepted in the df cap). */
+  def shingleKey(c: Column): Column
+}
+
+/** Oracle mode: portable md5 strings (DuckDB-reproducible). */
+case object Md5Hashing extends DedupHashing {
+  def tokenHash(c: Column, salt: Int): Column = md5(concat(lit(s"$salt:"), c))
+  def bandHash(cols: Seq[Column]): Column = md5(concat_ws("|", cols: _*))
+  def shingleKey(c: Column): Column = c
+}
+
+/** Production mode: xxhash64 longs (same pipeline, ~no string cost). */
+case object XxHashing extends DedupHashing {
+  def tokenHash(c: Column, salt: Int): Column = xxhash64(lit(salt), c)
+  def bandHash(cols: Seq[Column]): Column = xxhash64(cols: _*)
+  def shingleKey(c: Column): Column = xxhash64(c)
+}
 
 /** Deduplication operators for training-data pipelines, each in its
   * scalable Spark form:
@@ -14,13 +56,13 @@ import graft.text.TextOps
   *  - SimHash: bit-vote fingerprint, hamming-adjacent buckets.
   *  - n-gram Jaccard: exact verification on LSH/shared-shingle candidates.
   *
-  * Hashes are md5-string based (not xxhash64) so every step has an
-  * engine-portable SQL oracle; at production scale the same pipeline swaps
-  * md5 for xxhash64 via [[hashExpr]] without changing shape. */
+  * Hashing is pluggable ([[DedupHashing]]): md5 strings by default so every
+  * step has an engine-portable SQL oracle; pass [[XxHashing]] at production
+  * scale — same shape, no hex-string materialization. */
 object Dedup {
 
   /** Pluggable token hash: portable md5 string (oracle mode). */
-  def hashExpr(c: Column, salt: Int): Column = md5(concat(lit(s"$salt:"), c))
+  def hashExpr(c: Column, salt: Int): Column = Md5Hashing.tokenHash(c, salt)
 
   /** Exact dedup: canonical representative (min key) per identical text. */
   def exact(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
@@ -31,11 +73,12 @@ object Dedup {
   }
 
   /** Per-document MinHash signature over distinct tokens: one column per
-    * permutation, minhash_i = min over tokens of md5("i:" + token). */
-  def minHashSignatures(docs: DataFrame, keyCol: String, textCol: String, numHashes: Int): DataFrame = {
+    * permutation, minhash_i = min over tokens of tokenHash(i, token). */
+  def minHashSignatures(docs: DataFrame, keyCol: String, textCol: String, numHashes: Int,
+      hashing: DedupHashing = Md5Hashing): DataFrame = {
     val toks = array_distinct(TextOps.tokens(col(textCol)))
     val sigs = (0 until numHashes).map { i =>
-      array_min(transform(toks, t => hashExpr(t, i))).as(s"mh$i")
+      array_min(transform(toks, t => hashing.tokenHash(t, i))).as(s"mh$i")
     }
     docs.select((col(keyCol).cast("long").as("key") +: sigs): _*)
   }
@@ -50,13 +93,22 @@ object Dedup {
     * `maxBucketSize` are DROPPED before the self-join (the same groupBy +
     * filter discipline as [[ngramJaccard]]'s `maxShingleDf`), making the
     * worst-case candidate volume an explicit `numBands * n/maxBucketSize *
-    * maxBucketSize²` bound. Audit what a cap dropped with
-    * [[oversizedLshBuckets]] — same inputs, returns the dropped buckets. */
+    * maxBucketSize²` bound.
+    *
+    * The cap is NOT silent (round-4 ADVICE): the plan carries a
+    * `CollectMetrics` node counting the buckets the cap dropped, and a
+    * session-registered listener logs a warning with that count whenever an
+    * action over this frame observes a non-zero drop (the count also lands
+    * in `QueryExecution.observedMetrics` for programmatic consumers). Audit
+    * WHICH buckets were dropped with [[oversizedLshBuckets]] — same inputs,
+    * returns the dropped buckets themselves. */
   def lshCandidates(docs: DataFrame, keyCol: String, textCol: String,
-      numHashes: Int, rowsPerBand: Int, maxBucketSize: Long = 100000L): DataFrame = {
-    val exploded = lshBandRows(docs, keyCol, textCol, numHashes, rowsPerBand)
-    val small = exploded.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
-      .where(col("bn") <= maxBucketSize).select("band", "bh")
+      numHashes: Int, rowsPerBand: Int, maxBucketSize: Long = 100000L,
+      hashing: DedupHashing = Md5Hashing): DataFrame = {
+    val exploded = lshBandRows(docs, keyCol, textCol, numHashes, rowsPerBand, hashing)
+    val sizes = observeDropped(docs.sparkSession,
+      exploded.groupBy("band", "bh").agg(count(lit(1)).as("bn")), maxBucketSize)
+    val small = sizes.where(col("bn") <= maxBucketSize).select("band", "bh")
     val kept = exploded.join(small, Seq("band", "bh"), "left_semi")
     val l = kept.as("l")
     val r = kept.as("r")
@@ -70,20 +122,21 @@ object Dedup {
     * (band, bh, bn) with bn > cap — the explicit audit surface for the
     * silent-cap rule (run it when a capped result needs accounting). */
   def oversizedLshBuckets(docs: DataFrame, keyCol: String, textCol: String,
-      numHashes: Int, rowsPerBand: Int, maxBucketSize: Long): DataFrame =
-    lshBandRows(docs, keyCol, textCol, numHashes, rowsPerBand)
+      numHashes: Int, rowsPerBand: Int, maxBucketSize: Long,
+      hashing: DedupHashing = Md5Hashing): DataFrame =
+    lshBandRows(docs, keyCol, textCol, numHashes, rowsPerBand, hashing)
       .groupBy("band", "bh").agg(count(lit(1)).as("bn"))
       .where(col("bn") > maxBucketSize)
 
   /** (key, band, bh) rows — the shared banding of [[lshCandidates]] and
     * [[oversizedLshBuckets]]. */
   private def lshBandRows(docs: DataFrame, keyCol: String, textCol: String,
-      numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minHashSignatures(docs, keyCol, textCol, numHashes)
+      numHashes: Int, rowsPerBand: Int, hashing: DedupHashing): DataFrame = {
+    val sig = minHashSignatures(docs, keyCol, textCol, numHashes, hashing)
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
+      struct(lit(b).as("band"), hashing.bandHash(cols).as("bh"))
     }
     sig.select(col("key"), explode(array(bands: _*)).as("bb"))
       .select(col("key"), col("bb.band").as("band"), col("bb.bh").as("bh"))
@@ -96,11 +149,14 @@ object Dedup {
     * otherwise produce an f² bucket (the round-1/2 scale-killer). Jaccard is
     * then computed over the surviving shingle sets (both `common` and the
     * per-doc sizes), i.e. the standard df-capped n-gram Jaccard of web
-    * dedup pipelines — self-consistent and oracle-reproducible. */
+    * dedup pipelines — self-consistent and oracle-reproducible. Under
+    * [[XxHashing]] the inverted index keys 64-bit shingle hashes instead of
+    * raw shingle strings (the production fast path). */
   def ngramJaccard(docs: DataFrame, keyCol: String, textCol: String, k: Int,
-      maxShingleDf: Long = 10000L): DataFrame = {
+      maxShingleDf: Long = 10000L, hashing: DedupHashing = Md5Hashing): DataFrame = {
     val sh0 = docs.select(col(keyCol).cast("long").as("key"),
-      explode(array_distinct(TextOps.shingles(col(textCol), k))).as("sh"))
+        explode(array_distinct(TextOps.shingles(col(textCol), k))).as("sh_raw"))
+      .select(col("key"), hashing.shingleKey(col("sh_raw")).as("sh"))
     // document-frequency cap: one extra groupBy on the shingle hash
     val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleDf)
@@ -139,5 +195,49 @@ object Dedup {
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     votes.select(col("key"), hash.cast("long").as("simhash"))
+  }
+
+  // ---- no-silent-caps plumbing (round-4 ADVICE) ----
+
+  /** Metric-name prefix for dropped-bucket observations (suffix-counted so
+    * two capped frames can meet in one query without a CollectMetrics name
+    * collision). */
+  private[graft] val DroppedMetricPrefix = "graft_lsh_dropped"
+  private val metricSeq = new AtomicLong
+  /** Total warnings the audit listener has emitted (test-visible). */
+  private[graft] val droppedBucketWarnings = new AtomicLong
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Attach a CollectMetrics node counting over-cap buckets to the
+    * bucket-size frame, and lazily register (once per session) the listener
+    * that turns a non-zero observation into a log warning. */
+  private[graft] def observeDropped(spark: SparkSession, sizes: DataFrame,
+      maxBucketSize: Long): DataFrame = {
+    ensureAuditListener(spark)
+    sizes.observe(s"${DroppedMetricPrefix}_${metricSeq.incrementAndGet()}",
+      sum(when(col("bn") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
+      coalesce(max(when(col("bn") > maxBucketSize, col("bn"))), lit(0L)).as("largest_dropped"),
+      lit(maxBucketSize).as("max_bucket_size"))
+  }
+
+  private def ensureAuditListener(spark: SparkSession): Unit = synchronized {
+    val flag = "spark.graft.lshAuditListener"
+    if (!spark.conf.getOption(flag).contains("1")) {
+      spark.conf.set(flag, "1")
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith(DroppedMetricPrefix) && row.getAs[Long]("dropped_buckets") > 0) {
+              droppedBucketWarnings.incrementAndGet()
+              log.warn(s"graft LSH bucket cap dropped ${row.getAs[Long]("dropped_buckets")} " +
+                s"band bucket(s) larger than ${row.getAs[Long]("max_bucket_size")} " +
+                s"(largest ${row.getAs[Long]("largest_dropped")} rows); candidate pairs inside " +
+                "them were NOT generated — audit with Dedup.oversizedLshBuckets / " +
+                "Similarity.oversizedBandBuckets")
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+      })
+    }
   }
 }

@@ -19,12 +19,16 @@ import org.apache.spark.sql.types._
   * surrounding WholeStageCodegen span. This expression generates a tight
   * primitive `for` loop inside whole-stage codegen instead.
   *
-  * Semantics are BITWISE identical to the HOF formulation the DuckDB
-  * oracles were validated against: each element is widened to double, the
-  * products are accumulated strictly in index order starting from 0.0
-  * (same IEEE-754 operation sequence), a length mismatch yields NULL (the
-  * HOF version's `zip_with` null-padding propagates to a NULL sum), and a
-  * NULL element yields NULL.
+  * Semantics are BITWISE identical to the CAST-BASED HOF formulation the
+  * DuckDB oracles were validated against — `aggregate(zip_with(a, b,
+  * (x, y) => x.cast(double) * y.cast(double)), 0.0d, _+_)`: each element is
+  * widened to double BEFORE multiplying, the products are accumulated
+  * strictly in index order starting from 0.0 (same IEEE-754 operation
+  * sequence), a length mismatch yields NULL (the HOF version's `zip_with`
+  * null-padding propagates to a NULL sum), and a NULL element yields NULL.
+  * A formulation that multiplies two FLOAT elements first and widens the
+  * float product (the pre-round-4 `Similarity.dot`) can differ in the last
+  * bit on ARRAY<FLOAT> inputs — the identity claim does not extend to it.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 

@@ -67,8 +67,44 @@ object TextQueries {
         .orderBy("a", "b")
     }),
 
+    // the band buckets the default cap WOULD drop at a small cap — the
+    // audit surface of the no-silent-caps rule, driver-gated end-to-end
+    // (cap 40 is chosen to make the dropped set non-empty on this table:
+    // near-empty documents collapse to shared signatures)
+    "d_lsh_oversized" -> ((s, dir) => {
+      Dedup.oversizedLshBuckets(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 4, rowsPerBand = 2, maxBucketSize = 40L)
+        .select(col("band").cast("long").as("band"), col("bh"),
+          col("bn").cast("long").as("bn"))
+        .orderBy("band", "bh")
+    }),
+
+    // production hash path (xxhash64 longs instead of md5 hex strings):
+    // same pipeline shape, no SQL oracle (xxhash64 is not portable to
+    // DuckDB) -> driver records the weaker rows-only check; the md5 twin
+    // above is the hash-portability-gated version of the same operator
+    "d_minhash_lsh_fast" -> ((s, dir) => {
+      Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 4, rowsPerBand = 2, hashing = graft.dedup.XxHashing)
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+          col("n_shared_bands").cast("long").as("n_shared_bands"))
+        .orderBy("a", "b")
+    }),
+
     "d_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", k = 3, maxShingleDf = 100L)
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(desc("jaccard"), asc("a"), asc("b"))
+        .limit(50)
+    }),
+
+    // production hash path for the inverted index (64-bit shingle keys
+    // instead of raw shingle strings); rows-only driver check, md5 twin
+    // above carries the value-level oracle
+    "d_ngram_jaccard_fast" -> ((s, dir) => {
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", k = 3,
+          maxShingleDf = 100L, hashing = graft.dedup.XxHashing)
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(desc("jaccard"), asc("a"), asc("b"))
@@ -173,6 +209,19 @@ object TextQueries {
          |SELECT l.doc_id::BIGINT AS a, r.doc_id::BIGINT AS b, count(*)::BIGINT AS n_shared_bands
          |FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
          |GROUP BY l.doc_id, r.doc_id ORDER BY a, b""".stripMargin
+    },
+
+    "d_lsh_oversized" -> {
+      val mh = (0 until 4).map(i => s"min(md5('$i:' || tok)) AS mh$i").mkString(", ")
+      s"""WITH toks AS (${toksSql(docsSql)}),
+         | dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+         | sig AS (SELECT doc_id, $mh FROM dt GROUP BY doc_id),
+         | bands AS (
+         |   SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM sig
+         |   UNION ALL
+         |   SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS bh FROM sig)
+         |SELECT band::BIGINT AS band, bh, count(*)::BIGINT AS bn
+         |FROM bands GROUP BY band, bh HAVING count(*) > 40 ORDER BY band, bh""".stripMargin
     },
 
     "d_ngram_jaccard" ->

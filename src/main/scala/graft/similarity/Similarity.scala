@@ -128,24 +128,18 @@ object Similarity {
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String, threshold: Double,
       nBits: Int = 16, nBands: Int = 8, seed: Long = 2027L, dim: Int = -1,
       maxBucketSize: Long = 100000L): DataFrame = {
-    require(nBits % nBands == 0, "nBits must be a multiple of nBands")
-    val d = resolveDim(vectors, vecCol, dim)
-    val bits = signBits(col(vecCol), hyperplaneMatrix(nBits, d, seed))
-    val rpb = nBits / nBands
-    val bandCols = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        (0 until rpb).map(r => bits(b * rpb + r) * lit(1 << r)).reduce(_ + _).as("bkey"))
-    }
-    val bandRows0 = vectors
-      .select(col(idCol).cast("long").as("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val bandRows0 = hyperplaneBandRows(vectors, idCol, vecCol, nBits, nBands, seed, dim)
     // bucket-size cap: a degenerate band key shared by f vectors would make
     // one bucket an f² self-join; drop buckets past the cap BEFORE joining
     // (same discipline as Dedup.lshCandidates — the explicit bound the
     // silent-cap rule demands; recall loss only on clusters that already
-    // exceeded the cap in EVERY band)
-    val small = bandRows0.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
-      .where(col("bn") <= maxBucketSize).select("band", "bkey")
+    // exceeded the cap in EVERY band). Not silent: the plan observes the
+    // dropped-bucket count and the session listener warns when it is
+    // non-zero (round-4 ADVICE); audit the buckets themselves with
+    // [[oversizedBandBuckets]].
+    val sizes = graft.dedup.Dedup.observeDropped(vectors.sparkSession,
+      bandRows0.groupBy("band", "bkey").agg(count(lit(1)).as("bn")), maxBucketSize)
+    val small = sizes.where(col("bn") <= maxBucketSize).select("band", "bkey")
     val bandRows = bandRows0.join(small, Seq("band", "bkey"), "left_semi")
     val cand = bandRows.as("l").join(bandRows.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
@@ -159,6 +153,33 @@ object Similarity {
       .select(col("a"), col("b"),
         (dotCast(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .where(col("sim") >= threshold)
+  }
+
+  /** The hyperplane-sign band buckets [[nearDupPairs]]'s cap would drop at
+    * `maxBucketSize`: (band, bkey, bn) with bn > cap — the audit surface
+    * matching [[graft.dedup.Dedup.oversizedLshBuckets]]. */
+  def oversizedBandBuckets(vectors: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 16, nBands: Int = 8, seed: Long = 2027L, dim: Int = -1,
+      maxBucketSize: Long = 100000L): DataFrame =
+    hyperplaneBandRows(vectors, idCol, vecCol, nBits, nBands, seed, dim)
+      .groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+      .where(col("bn") > maxBucketSize)
+
+  /** (id, band, bkey) rows — the shared banding of [[nearDupPairs]] and
+    * [[oversizedBandBuckets]]. */
+  private def hyperplaneBandRows(vectors: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, nBands: Int, seed: Long, dim: Int): DataFrame = {
+    require(nBits % nBands == 0, "nBits must be a multiple of nBands")
+    val d = resolveDim(vectors, vecCol, dim)
+    val bits = signBits(col(vecCol), hyperplaneMatrix(nBits, d, seed))
+    val rpb = nBits / nBands
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until rpb).map(r => bits(b * rpb + r) * lit(1 << r)).reduce(_ + _).as("bkey"))
+    }
+    vectors
+      .select(col(idCol).cast("long").as("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
   /** Vector dimension: the caller-supplied value when >= 0, else a one-row

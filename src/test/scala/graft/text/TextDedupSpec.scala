@@ -66,12 +66,20 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     // five identical docs: every band bucket they share has size 5
     val d = docs((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"),
       (4L, "a b c d e"), (5L, "a b c d e"), (6L, "z y x w v"), (7L, "z y x w v"))
+    val warnings0 = Dedup.droppedBucketWarnings.get()
     val capped = Dedup.lshCandidates(d, "doc_id", "text", numHashes = 4, rowsPerBand = 2,
       maxBucketSize = 2L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // the size-5 cluster is suppressed by the cap; the size-2 cluster survives
     assert(!capped.exists { case (a, b) => a <= 5 && b <= 5 })
     assert(capped.contains((6L, 7L)))
+    // the drop is not silent: the observed-metrics listener fires a warning
+    // (listener-bus delivery is async -> bounded spin)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (Dedup.droppedBucketWarnings.get() == warnings0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(Dedup.droppedBucketWarnings.get() > warnings0,
+      "capped lshCandidates run did not emit a dropped-bucket warning")
     val dropped = Dedup.oversizedLshBuckets(d, "doc_id", "text", 4, 2, maxBucketSize = 2L)
       .collect().map(_.getLong(2))
     assert(dropped.nonEmpty && dropped.forall(_ == 5L))
@@ -79,6 +87,35 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     val uncapped = Dedup.lshCandidates(d, "doc_id", "text", 4, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.contains((1L, 5L)) && uncapped.contains((6L, 7L)))
+  }
+
+  test("xxhash64 production mode preserves the pipeline shape and the guaranteed collisions") {
+    import graft.dedup.XxHashing
+    // identical token sets collide in EVERY band under ANY hash, so the
+    // duplicate cluster's pairs are hash-mode-independent; near-dup pairs
+    // may differ (different permutations), which is LSH working as designed
+    val d = docs((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"),
+      (4L, "z y x w v"), (5L, "z y x w v"), (6L, "completely different words"))
+    def dupPairs(h: graft.dedup.DedupHashing) =
+      Dedup.lshCandidates(d, "doc_id", "text", numHashes = 4, rowsPerBand = 2, hashing = h)
+        .where(col("n_shared_bands") === 2) // all bands shared = identical signature
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+    assert(dupPairs(graft.dedup.Md5Hashing) == want)
+    assert(dupPairs(XxHashing) == want)
+    // the fast band-bucket cap works identically
+    val capped = Dedup.lshCandidates(d, "doc_id", "text", 4, 2, maxBucketSize = 2L,
+      hashing = XxHashing).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a <= 3 && b <= 3 })
+    assert(capped.contains((4L, 5L)))
+  }
+
+  test("ngram jaccard: xxhash64 shingle keys give the md5-mode results (collision-free fixture)") {
+    val d = docs((1L, "a b c d"), (2L, "a b c e"), (3L, "p q r s"), (4L, "a b c d"))
+    def res(h: graft.dedup.DedupHashing) =
+      Dedup.ngramJaccard(d, "doc_id", "text", 3, hashing = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(res(graft.dedup.Md5Hashing) == res(graft.dedup.XxHashing))
   }
 
   test("ngram jaccard: exact overlap arithmetic") {
