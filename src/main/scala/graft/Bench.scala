@@ -43,6 +43,45 @@ object Bench {
 
   private def nowSecs: Double = System.nanoTime() / 1e9
 
+  // ---- quiet-window gating (round-4 verdict #1: the steal-watcher side
+  // script is now IN protocol so one invocation can both time all queries
+  // and measure clean scaling pairs) ----
+
+  /** One /proc/stat snapshot: (total, idle+iowait, steal) jiffies. */
+  private def cpuSample(): (Long, Long, Long) = {
+    val parts = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      .trim.split("\\s+").drop(1).map(_.toLong)
+    (parts.sum, parts(3) + parts(4), if (parts.length > 7) parts(7) else 0L)
+  }
+
+  /** (stealFrac, busyFrac) over a `windowSecs` sample. */
+  private def cpuWindow(windowSecs: Int): (Double, Double) = {
+    val a = cpuSample(); Thread.sleep(windowSecs * 1000L); val b = cpuSample()
+    val dt = math.max(1.0, (b._1 - a._1).toDouble)
+    ((b._3 - a._3) / dt, (dt - (b._2 - a._2)) / dt)
+  }
+
+  /** Block until two consecutive sample windows are quiet (hypervisor steal
+    * < 0.4%, total busy < 18% — the thresholds the round-4 side watcher
+    * validated), bounded by `maxWait` and the global deadline. Returns the
+    * seconds waited; logs the outcome to `notes` either way (an expired
+    * wait is disclosed, not hidden). Disable with
+    * SPARK_GRAFT_BENCH_QUIETWAIT=0. */
+  private def waitQuiet(tag: String, maxWait: Double, notes: StringBuilder,
+      remaining: () => Double): Double = {
+    if (sys.env.get("SPARK_GRAFT_BENCH_QUIETWAIT").contains("0")) return 0.0
+    val t0 = nowSecs
+    var consec = 0
+    var last = (0.0, 0.0)
+    while (consec < 2 && nowSecs - t0 < maxWait && remaining() > 240) {
+      last = cpuWindow(3)
+      if (last._1 < 0.004 && last._2 < 0.18) consec += 1 else consec = 0
+    }
+    val waited = nowSecs - t0
+    notes.append(f"$tag: quiet-wait ${waited}%.0fs, ${if (consec >= 2) "quiet" else "EXPIRED (proceeding in noise)"} (last steal=${last._1}%.4f busy=${last._2}%.3f)\n")
+    waited
+  }
+
   /** Spawn one pinned BenchWorker JVM; parse its BENCHRUN line. */
   private def workerRun(spec: String, cores: Int, heapGb: Int, edgesPath: String,
       maxIter: Int, tol: Double, parts: Int, aqe: Boolean, timeoutSecs: Long): Option[Run] = {
@@ -107,6 +146,11 @@ object Bench {
     var queryResults = Seq.empty[(String, Double)]
     val scaling = scala.collection.mutable.Map[String, Double]()
     val notes = new StringBuilder
+    // Provenance (round-4 ADVICE): the sidecar names the invocation that
+    // produced each section so a machine consumer can tell a single-run
+    // record from a hand-merged one without reading BENCH.md prose.
+    val invocationId = s"${System.currentTimeMillis() / 1000}-${ProcessHandle.current().pid()}"
+    var phase1State = "skipped"
 
     // Full-precision record as a repo sidecar the driver or judge can ingest
     // whole (round-3 verdict #1/#3). Written at EVERY phase boundary, not
@@ -120,7 +164,11 @@ object Bench {
         val s = scaling.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
         s""","scaling":{$s}"""
       }
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$extra}"""
+      val sentinels = queryResults.filter(_._2 < 0).map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")
+      val prov = s""","provenance":{"invocation_id":"$invocationId","phase1":"$phase1State",""" +
+        s""""phase1_sentinels":$sentinels,"scaling_runs":${scaling.getOrElse("pr_runs_per_level", 0.0).toInt},""" +
+        s""""single_invocation":true}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$extra$prov}"""
     }
     def dumpSidecar(): Unit =
       try Files.writeString(Paths.get("/root/repo/BENCH_LAST.json"), jline(_.toString) + "\n")
@@ -130,6 +178,11 @@ object Bench {
       // ---- phase 1: query timings (time-boxed to a third of the budget) ----
       val qBudget = math.min(600.0, (deadline - t0) / 4)
       if (!sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) {
+        // gate the WHOLE protocol on a quiet window: phase 1's per-query
+        // watchdog and the scaling pairs are both contention-sensitive, and
+        // round 4 ended with the record split across invocations because
+        // full runs kept landing in steal waves
+        waitQuiet("phase1", maxWait = math.min(900.0, remaining / 3), notes, remaining _)
         val spark = SparkSession.builder()
           .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
           .appName("graft-bench-queries")
@@ -174,7 +227,12 @@ object Bench {
         // (round 3's f_triangle_fingerprint regression was exactly this);
         // queries leaving more than the expected materialized-result cache
         // (miners legitimately return one persisted frame) are named in notes.
-        def sweep(tag: String): Unit = {
+        // SPARK_GRAFT_BENCH_NOSWEEP=1 disables the between-query cache sweep
+        // (diagnostic only: quantifies how much a timing rode a
+        // predecessor's leaked cache — round-4 verdict #3)
+        val noSweep = sys.env.get("SPARK_GRAFT_BENCH_NOSWEEP").contains("1")
+        if (noSweep) notes.append("phase1: cache sweep DISABLED (diagnostic run)\n")
+        def sweep(tag: String): Unit = if (!noSweep) {
           val rdds = spark.sparkContext.getPersistentRDDs
           if (rdds.size > 2) notes.append(s"phase1 persist-leak: $tag left ${rdds.size} persisted RDDs\n")
           spark.sharedState.cacheManager.clearCache()
@@ -213,6 +271,7 @@ object Bench {
             out
           }
         }
+        phase1State = if (queryResults.exists(_._2 < 0)) "partial" else "complete"
         dumpSidecar() // phase-1 record survives a later kill
         // ---- phase 2: bench edge table + static structures (same session) ----
         val benchEdgesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EDGES", "/tmp/graft_bench_edges_12m")
@@ -294,6 +353,15 @@ object Bench {
     val runsLow = scala.collection.mutable.ArrayBuffer[Run]()
     val runsHigh = scala.collection.mutable.ArrayBuffer[Run]()
 
+    // Metric-independent noise witness (round-4 ADVICE: retries must not be
+    // conditioned on the efficiency outcome): a run is noisy if the
+    // hypervisor stole visibly during it, or if its within-run iteration
+    // dispersion collapses (median-throughput / floor-throughput < 0.75 —
+    // identical work per iteration means a clean run keeps the ratio ~0.9;
+    // memory-bandwidth contention from a noisy neighbor drags the median
+    // without necessarily showing up as steal, the round-4 lesson).
+    def noisy(r: Run): Boolean = r.steal > stealOk || r.epsMed < 0.75 * r.epsMin
+
     // Recompute the equal-count picks + derived scaling entries from the runs
     // so far, rewrite BENCH.md, and flush the sidecar. Cheap; called after
     // every pair so each artifact is always current.
@@ -315,6 +383,15 @@ object Bench {
           "pr_steal_low" -> rL.steal, "pr_steal_high" -> rH.steal,
           "pr_cpu_per_iter_low" -> rL.cpuPerIter, "pr_cpu_per_iter_high" -> rH.cpuPerIter,
           "pr_edges" -> rL.edges.toDouble, "pr_runs_per_level" -> nRuns.toDouble)
+        // pooled estimator alongside the best-of-n pick: per-pair efficiency
+        // (pair i = i-th low run vs i-th high run), median across pairs
+        val ratio2 = coresOf(highSpec).toDouble / coresOf(lowSpec)
+        val pairEffs = (0 until nRuns)
+          .map(i => (runsHigh(i).epsMin / runsLow(i).epsMin) / ratio2).sorted
+        if (pairEffs.nonEmpty)
+          scaling += ("pr_eff_pair_median" -> pairEffs(pairEffs.size / 2))
+        scaling += ("pr_noisy_runs_low" -> runsLow.count(noisy).toDouble,
+          "pr_noisy_runs_high" -> runsHigh.count(noisy).toDouble)
       }
       conv.foreach { c =>
         scaling ++= Seq("pr_conv_iters" -> c.iters.toDouble, "pr_conv_tp" -> c.epsMin,
@@ -351,37 +428,36 @@ object Bench {
       refresh(conv) // equal run counts per level for the scaling pick (ADVICE round 1)
     }
 
-    // minPairs equal-count pairs first (best-of-n per level tightens the
-    // one-sided-noise estimate), reserving the convergence budget
+    // n = minPairs pairs FIXED IN ADVANCE (round-4 ADVICE: no optional
+    // stopping on the efficiency outcome), reserving the convergence budget.
+    // Each pair gets a short quiet-window gate — the watcher is now in
+    // protocol, so the pairs and the query timings share one invocation.
+    waitQuiet("scaling", maxWait = math.min(600.0, remaining() / 4), notes, remaining)
     while (pair < minPairs && remaining() > pairCost + convReserve) runPair(convReserve)
 
     // ---- phase 4: convergence on the full core budget — runs BEFORE any
     // extra retry pairs so a slow pair can never starve the headline
     // (round-4 lesson: a marginal-efficiency retry ate the conv budget) ----
-    conv = if (remaining() > 240)
+    conv = if (remaining() > 240) {
+      waitQuiet("conv", maxWait = math.min(240.0, remaining() / 5), notes, remaining)
       workerRun(convSpec, coresOf(convSpec), heapGb, edgesPath, maxIter = 60, tol = 1e-6,
         parts, aqe, timeoutSecs = math.max(200, remaining().toLong - 30))
-    else None
+    } else None
     refresh(conv)
 
-    // extra pairs with the leftover budget, while a level has not yet seen
-    // a low-steal window OR the efficiency verdict is still marginal —
-    // round-4 observation: memory-bandwidth contention from a noisy
-    // neighbor inflates executor CPU/iteration WITHOUT showing up as
-    // hypervisor steal, so a low-steal-but-slow window can depress one
-    // level; more equal-count samples can only sharpen the min-warm floor.
-    // BOTH reported estimators must be comfortably over the bar before the
-    // harness stops early: round 4 shipped a pair set whose min-warm read
-    // 0.86 while the p25 estimator sat at 0.79 because one contaminated
-    // high-level run was never retried (its steal 0.037 squeaked under the
-    // old 0.04 gate).
-    def effMarginal: Boolean = scaling.get("pr_eff").forall(_ < 0.84) ||
-      scaling.get("pr_eff_p25").forall(_ < 0.82)
+    // Extra pairs ONLY while a level has not yet produced a single
+    // noise-free run (steal or within-run-dispersion witness — both
+    // metric-independent; the efficiency value is never consulted, which
+    // closes round 4's outcome-conditioned optional stopping). Each retry
+    // waits briefly for quiet first, since retrying into the same wave is
+    // wasted budget.
     while (pair < maxPairs && remaining() > pairCost + 60 &&
-           (runsLow.forall(_.steal > stealOk) || runsHigh.forall(_.steal > stealOk) ||
-            effMarginal)) {
+           (runsLow.forall(noisy) || runsHigh.forall(noisy))) {
+      waitQuiet(s"scaling-retry$pair", maxWait = math.min(300.0, remaining() / 4), notes, remaining)
       runPair(reserve = 60)
     }
+    if (runsLow.nonEmpty && (runsLow.forall(noisy) || runsHigh.forall(noisy)))
+      notes.append("scaling: no noise-free run at some level within budget — record is contention-limited\n")
   }
 
   private def fmtRun(r: Run): String =
@@ -397,6 +473,7 @@ object Bench {
     val effLine = scaling.get("pr_eff").map(e =>
       f"**Scaling efficiency (min-warm estimator) = $e%.3f** (pass criterion >= 0.8); " +
         f"p25 estimator = ${scaling.getOrElse("pr_eff_p25", Double.NaN)}%.3f; " +
+        f"per-pair median = ${scaling.getOrElse("pr_eff_pair_median", Double.NaN)}%.3f; " +
         f"executor-CPU/iteration ratio low/high = ${scaling.getOrElse("pr_cpu_eff", Double.NaN)}%.3f " +
         "(1.0 = per-iteration work constant across levels).").getOrElse("scaling pair incomplete")
     val convLine = conv.map(c =>
@@ -440,6 +517,17 @@ object Bench {
          |median reported alongside); per level, best run among equal counts. The
          |round-1 convergence-run asymmetry is removed (ADVICE r1).
          |
+         |Protocol (round-5 form, closing the round-4 optional-stopping ADVICE):
+         |the pair count is FIXED IN ADVANCE (n = minPairs, default 2); every
+         |phase is gated on a quiet window (2 consecutive 3s samples with
+         |steal < 0.4%% and busy < 18%%, bounded wait, expiry disclosed in
+         |Notes); extra pairs are added ONLY while some level has zero runs
+         |passing the metric-independent noise witnesses (per-run steal <=
+         |stealOk AND within-run median/floor throughput >= 0.75) — the
+         |efficiency value itself is never consulted for stopping. The
+         |per-pair-median efficiency is reported alongside the best-of-n pick
+         |as the pooled estimator.
+         |
          |$effLine
          |
          |Note on the CPU witness (history: round 2's 2.7x high-level CPU
@@ -460,6 +548,17 @@ object Bench {
          |## Convergence (headline)
          |
          |$convLine
+         |
+         |## Provenance
+         |
+         |This file and `BENCH_LAST.json` were written by ONE `graft.Bench`
+         |invocation; the sidecar's `provenance` object carries the invocation
+         |id, phase-1 completeness, and sentinel list, and is the authoritative
+         |machine-readable record. (The driver's `BENCH_r{N}.json` `parsed`
+         |field can read `null` when its stdout parser skips the contract
+         |line — the record still exists in the sidecar; this note is the
+         |standing explanation.) All invocations contributing to the round's
+         |committed artifacts are disclosed here or in BASELINE.md.
          |
          |${if (notes.nonEmpty) s"## Notes\n\n$notes" else ""}
          |""".stripMargin

@@ -100,4 +100,30 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(a.keySet == b.keySet)
     for ((v, r) <- b) assert(math.abs(a(v) - r) < 1e-12, s"static-path drift at $v")
   }
+
+  test("runFromStatic kill/resume: mid-iteration restart from static tables converges identically") {
+    // the production restart story (round-4 verdict #9): writeStatic output
+    // + IterationCheckpoint resume, i.e. a worker dies mid-algorithm and a
+    // NEW process resumes from the static tables + last checkpoint
+    val e = Generators.barabasiAlbert(50, 2, seed = 77L)
+    val df = Generators.edgesDF(spark, e)
+    val staticDir = java.nio.file.Files.createTempDirectory("graft-static-resume").toString
+    PageRank.writeStatic(spark, df, staticDir)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-static-ckpt").toString
+    val ck = graft.run.IterationCheckpoint(ckDir, every = 2)
+    // run 1: killed after a few iterations (post-checkpoint)
+    PageRank.runFromStatic(spark, staticDir, maxIter = 4, checkpoint = Some(ck))
+    assert(ck.lineage.nonEmpty, "checkpoint wrote no manifests")
+    // run 2: a fresh checkpoint handle (new process) resumes and converges
+    val ck2 = graft.run.IterationCheckpoint(ckDir, every = 2)
+    val resumed = PageRank.runFromStatic(spark, staticDir, checkpoint = Some(ck2))
+    assert(resumed.iterations > 4)
+    val fresh = PageRank.run(spark, df)
+    val a = resumed.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = fresh.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((v, r) <- b) assert(math.abs(a(v) - r) < 1e-9, s"static-resume drift at $v")
+    // lineage carries per-partition metrics across the restart
+    val m = ck2.lineage.last
+    assert(m.partitions.nonEmpty && m.rows == a.size)
+  }
 }
