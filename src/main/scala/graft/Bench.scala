@@ -170,9 +170,13 @@ object Bench {
         s""""single_invocation":true}"""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$extra$prov}"""
     }
+    // Guard: a gen-only invocation (both phases skipped, e.g. the
+    // scale-stress scripts preparing a bigger edge table) must not clobber
+    // the committed full-protocol record with an empty one.
     def dumpSidecar(): Unit =
-      try Files.writeString(Paths.get("/root/repo/BENCH_LAST.json"), jline(_.toString) + "\n")
-      catch { case _: Throwable => () }
+      if (phase1State != "skipped" || scaling.nonEmpty)
+        try Files.writeString(Paths.get("/root/repo/BENCH_LAST.json"), jline(_.toString) + "\n")
+        catch { case _: Throwable => () }
 
     try {
       // ---- phase 1: query timings (time-boxed to a third of the budget) ----
@@ -561,7 +565,16 @@ object Bench {
          |committed artifacts are disclosed here or in BASELINE.md.
          |
          |${if (notes.nonEmpty) s"## Notes\n\n$notes" else ""}
-         |""".stripMargin
+         |$appendixFragment""".stripMargin
     Files.writeString(Paths.get("/root/repo/BENCH.md"), md)
   }
+
+  /** Hand-maintained appendix sections (scale-stress runs, north-rule
+    * algorithm suite) live in BENCH_APPENDIX.md so a later full-protocol
+    * rewrite of BENCH.md cannot silently drop them. */
+  private def appendixFragment: String =
+    try {
+      val p = Paths.get("/root/repo/BENCH_APPENDIX.md")
+      if (Files.exists(p)) "\n" + Files.readString(p) else ""
+    } catch { case _: Throwable => "" }
 }
