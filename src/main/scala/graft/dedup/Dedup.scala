@@ -73,14 +73,32 @@ object Dedup {
   }
 
   /** Per-document MinHash signature over distinct tokens: one column per
-    * permutation, minhash_i = min over tokens of tokenHash(i, token). */
+    * permutation, minhash_i = min over tokens of tokenHash(i, token).
+    *
+    * Under [[XxHashing]] the signature is built by the native one-pass
+    * [[graft.functions.MinHashSignature]] expression — bitwise-equal per
+    * slot to the per-column HOF formulation (ScalaTest-asserted) but with
+    * ONE codegen'd scan of the token array instead of `numHashes`
+    * interpreted `transform` passes; the signature build is the only step
+    * of the pipeline that is linear in the full corpus, so this is the
+    * production scan loop. The two projections are deliberate: Catalyst's
+    * CollapseProject keeps the non-cheap signature expression in its own
+    * projection, so it is evaluated once per row, not once per slot. */
   def minHashSignatures(docs: DataFrame, keyCol: String, textCol: String, numHashes: Int,
       hashing: DedupHashing = Md5Hashing): DataFrame = {
     val toks = array_distinct(TextOps.tokens(col(textCol)))
-    val sigs = (0 until numHashes).map { i =>
-      array_min(transform(toks, t => hashing.tokenHash(t, i))).as(s"mh$i")
+    hashing match {
+      case XxHashing =>
+        docs.select(col(keyCol).cast("long").as("key"),
+            graft.functions.TextFunctions.minHashSignature(toks, numHashes).as("_sig"))
+          .select((col("key") +:
+            (0 until numHashes).map(i => col("_sig").getItem(i).as(s"mh$i"))): _*)
+      case _ =>
+        val sigs = (0 until numHashes).map { i =>
+          array_min(transform(toks, t => hashing.tokenHash(t, i))).as(s"mh$i")
+        }
+        docs.select((col(keyCol).cast("long").as("key") +: sigs): _*)
     }
-    docs.select((col(keyCol).cast("long").as("key") +: sigs): _*)
   }
 
   /** LSH candidate pairs: docs sharing at least one band (band = hash of

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, MinHashSignature}
 
 /** Session extensions registering the engine's native expressions with the
   * SQL function registry, so `spark.sql("... graft_dot(a, b) ...")` works
@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"graft_dot expects 2 arguments, got ${children.length}")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"graft_minhash expects 2 arguments, got ${children.length}")
+        MinHashSignature(children.head, children(1))
       }))
   }
 }

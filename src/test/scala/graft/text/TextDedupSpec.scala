@@ -110,6 +110,22 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(capped.contains((4L, 5L)))
   }
 
+  test("xxhash64 signatures (native one-pass expression) match the per-column HOF twin bitwise") {
+    import graft.dedup.XxHashing
+    val n = 6
+    val d = docs((1L, "the quick brown fox"), (2L, "jumps over the lazy dog"),
+      (3L, "héllo wörld 日本語"), (4L, "a"), (5L, "a a a b"))
+    val native = Dedup.minHashSignatures(d, "doc_id", "text", n, hashing = XxHashing)
+      .orderBy("key").collect().map(_.toSeq)
+    // the HOF formulation the native expression replaced, built from the
+    // same XxHashing.tokenHash primitive
+    val toks = array_distinct(TextOps.tokens(col("text")))
+    val hof = d.select((col("doc_id").cast("long").as("key") +:
+        (0 until n).map(i => array_min(transform(toks, t => XxHashing.tokenHash(t, i))).as(s"mh$i"))): _*)
+      .orderBy("key").collect().map(_.toSeq)
+    assert(native.toSeq == hof.toSeq)
+  }
+
   test("ngram jaccard: xxhash64 shingle keys give the md5-mode results (collision-free fixture)") {
     val d = docs((1L, "a b c d"), (2L, "a b c e"), (3L, "p q r s"), (4L, "a b c d"))
     def res(h: graft.dedup.DedupHashing) =
