@@ -356,6 +356,12 @@ object Bench {
 
     val runsLow = scala.collection.mutable.ArrayBuffer[Run]()
     val runsHigh = scala.collection.mutable.ArrayBuffer[Run]()
+    // pair index of each successful run, appended in lockstep with the run
+    // buffers — a failed/timeout run at one level must not silently shift
+    // the per-pair alignment (the pooled estimator would then divide runs
+    // from different quiet windows)
+    val pairIdxLow = scala.collection.mutable.ArrayBuffer[Int]()
+    val pairIdxHigh = scala.collection.mutable.ArrayBuffer[Int]()
 
     // Metric-independent noise witness (round-4 ADVICE: retries must not be
     // conditioned on the efficiency outcome): a run is noisy if the
@@ -388,12 +394,22 @@ object Bench {
           "pr_cpu_per_iter_low" -> rL.cpuPerIter, "pr_cpu_per_iter_high" -> rH.cpuPerIter,
           "pr_edges" -> rL.edges.toDouble, "pr_runs_per_level" -> nRuns.toDouble)
         // pooled estimator alongside the best-of-n pick: per-pair efficiency
-        // (pair i = i-th low run vs i-th high run), median across pairs
+        // over pairs where BOTH levels succeeded (matched by pair index, so
+        // a one-sided failure never cross-matches runs from different quiet
+        // windows), median across pairs — central-two average when the pair
+        // count is even (upper-middle would be optimism-biased at n=2)
         val ratio2 = coresOf(highSpec).toDouble / coresOf(lowSpec)
-        val pairEffs = (0 until nRuns)
-          .map(i => (runsHigh(i).epsMin / runsLow(i).epsMin) / ratio2).sorted
-        if (pairEffs.nonEmpty)
-          scaling += ("pr_eff_pair_median" -> pairEffs(pairEffs.size / 2))
+        val byPairLow = pairIdxLow.zip(runsLow).toMap
+        val byPairHigh = pairIdxHigh.zip(runsHigh).toMap
+        val pairEffs = byPairLow.keySet.intersect(byPairHigh.keySet).toSeq
+          .map(i => (byPairHigh(i).epsMin / byPairLow(i).epsMin) / ratio2).sorted
+        if (pairEffs.nonEmpty) {
+          val k = pairEffs.size
+          val med = if (k % 2 == 1) pairEffs(k / 2)
+                    else (pairEffs(k / 2 - 1) + pairEffs(k / 2)) / 2.0
+          scaling += ("pr_eff_pair_median" -> med)
+          scaling += ("pr_pairs_matched" -> k.toDouble)
+        }
         scaling += ("pr_noisy_runs_low" -> runsLow.count(noisy).toDouble,
           "pr_noisy_runs_high" -> runsHigh.count(noisy).toDouble)
       }
@@ -417,13 +433,13 @@ object Bench {
       val pT0 = nowSecs
       workerRun(lowSpec, coresOf(lowSpec), heapGb, edgesPath, scaleIters, 0.0, parts, aqe,
         timeoutSecs = math.max(240, remaining().toLong - reserve.toLong)) match {
-        case Some(r) => runsLow += r
+        case Some(r) => runsLow += r; pairIdxLow += pair
           System.err.println(f"[bench] low $lowSpec: min=${r.epsMin / 1e6}%.2fM p25=${r.epsP25 / 1e6}%.2fM steal=${r.steal}%.3f")
         case None => notes.append(s"low run $pair failed/timeout\n")
       }
       workerRun(highSpec, coresOf(highSpec), heapGb, edgesPath, scaleIters, 0.0, parts, aqe,
         timeoutSecs = math.max(240, remaining().toLong - reserve.toLong)) match {
-        case Some(r) => runsHigh += r
+        case Some(r) => runsHigh += r; pairIdxHigh += pair
           System.err.println(f"[bench] high $highSpec: min=${r.epsMin / 1e6}%.2fM p25=${r.epsP25 / 1e6}%.2fM steal=${r.steal}%.3f")
         case None => notes.append(s"high run $pair failed/timeout\n")
       }
@@ -565,7 +581,7 @@ object Bench {
          |committed artifacts are disclosed here or in BASELINE.md.
          |
          |${if (notes.nonEmpty) s"## Notes\n\n$notes" else ""}
-         |$appendixFragment""".stripMargin
+         |""".stripMargin + appendixFragment
     Files.writeString(Paths.get("/root/repo/BENCH.md"), md)
   }
 

@@ -79,8 +79,12 @@ object BenchSuite {
     val warmLabels = graft.graph.GraphOps.vertices(warm)
       .select(col("vid"), pmod(col("vid"), lit(64L)).as("label"))
     algos.foreach {
-      case "cc"  => graft.algo.ConnectedComponents.run(spark, warm, maxRounds = 3).count(); ()
-      case "lp"  => graft.algo.LabelPropagation.wlRefineHashed(spark, warm, warmLabels, 2).count(); ()
+      case "cc"  =>
+        val c = graft.algo.ConnectedComponents.run(spark, warm, maxRounds = 3)
+        c.count(); graft.graph.GraphOps.releaseCheckpoint(c)
+      case "lp"  =>
+        val l = graft.algo.LabelPropagation.wlRefineHashed(spark, warm, warmLabels, 2)
+        l.count(); graft.graph.GraphOps.releaseCheckpoint(l)
       case "tri" => graft.algo.Triangles.globalCount(spark, warm); ()
       case _     => ()
     }
@@ -96,6 +100,11 @@ object BenchSuite {
         case "cc" =>
           val cc = graft.algo.ConnectedComponents.run(spark, edges)
           val comps = cc.agg(countDistinct(col("component"))).head().getLong(0)
+          // release the |V|-row checkpointed result before the next timed
+          // algorithm — a pinned component table would squat executor
+          // storage during the lp/tri measurements (same cross-query
+          // isolation Bench's phase-1 sweep enforces)
+          graft.graph.GraphOps.releaseCheckpoint(cc)
           s"components=$comps"
         case "lp" =>
           val out = graft.algo.LabelPropagation.wlRefineHashed(spark, edges, initialLabels(), lpRounds)
