@@ -192,27 +192,33 @@ object Dedup {
         (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
   }
 
-  /** SimHash over `bits` bits (<=32), md5-nibble based so the SQL oracle
-    * reproduces it bit-for-bit: token bit j = nibble j/4 of md5(token),
-    * shifted j%4; sign of the +/-1 vote sum sets the fingerprint bit. */
-  def simHash(docs: DataFrame, keyCol: String, textCol: String, bits: Int): DataFrame = {
-    require(bits <= 32 && bits % 4 == 0)
-    val tok = docs.select(col(keyCol).cast("long").as("key"),
-      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
-    val voteCols = (0 until bits).map { j =>
-      val c = ascii(substring(md5(col("tok")), 1 + j / 4, 1))
-      val nibble = when(c <= 57, c - 48).otherwise(c - 87) // '0'-'9' | 'a'-'f'
-      val bit = shiftright(nibble.cast("int"), j % 4).bitwiseAND(lit(1))
-      (bit * 2 - 1).cast("long").as(s"v$j")
+  /** SimHash fingerprint, computed SHUFFLE-FREE as one per-row pass by the
+    * native [[graft.functions.SimHash]] expression (the operator is a pure
+    * function of one document, so the historical explode-to-|tokens|-rows +
+    * groupBy formulation paid a full-corpus row inflation and shuffle for
+    * nothing — see `TextDedupSpec`'s twin-equality test for the retired
+    * shape). Semantics per mode:
+    *
+    *  - [[Md5Hashing]] (default, `bits` <= 32): md5-nibble votes so the SQL
+    *    oracle reproduces it bit-for-bit — token bit j = nibble j/4 of
+    *    md5(token), shifted j%4; sign of the +/-1 vote sum sets the
+    *    fingerprint bit.
+    *  - [[XxHashing]] (`bits` <= 64): vote j reads bit j of
+    *    `xxhash64(token)` — no hex-string materialization, 64-bit
+    *    fingerprints for hamming bucketing at production.
+    *
+    * Documents with no tokens (NULL/empty text) are absent from the result,
+    * exactly as under the explode formulation. */
+  def simHash(docs: DataFrame, keyCol: String, textCol: String, bits: Int,
+      hashing: DedupHashing = Md5Hashing): DataFrame = {
+    val mode = hashing match {
+      case XxHashing => "xx64"
+      case _         => require(bits <= 32); "md5"
     }
-    val withBits = tok.select(col("key") +: voteCols: _*)
-    val votes = withBits.groupBy("key")
-      .agg((0 until bits).map(j => sum(col(s"v$j")).as(s"s$j")).head,
-        (0 until bits).map(j => sum(col(s"v$j")).as(s"s$j")).tail: _*)
-    val hash = (0 until bits).map { j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    votes.select(col("key"), hash.cast("long").as("simhash"))
+    docs.select(col(keyCol).cast("long").as("key"),
+        graft.functions.TextFunctions.simHash(
+          array_distinct(TextOps.tokens(col(textCol))), bits, mode).as("simhash"))
+      .where(col("simhash").isNotNull)
   }
 
   // ---- no-silent-caps plumbing (round-4 ADVICE) ----

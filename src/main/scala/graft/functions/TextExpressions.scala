@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -125,16 +125,156 @@ case class MinHashSignature(tokens: Expression, numHashes: Expression) extends B
     copy(tokens = newLeft, numHashes = newRight)
 }
 
+/** Native one-pass SimHash over a token array — the shuffle-free form of
+  * the bit-vote fingerprint.
+  *
+  * [[graft.dedup.Dedup.simHash]]'s original formulation exploded the token
+  * array to |tokens| rows, computed per-token hash bits as 32 vote columns,
+  * and re-aggregated per document — a row inflation of the whole corpus
+  * followed by a shuffle, for a value that is a pure function of one row.
+  * This expression fuses the votes into a single per-row loop: for each
+  * non-null token, hash once, add ±1 to each of `numBits` running votes;
+  * bit j of the result is set iff vote j is positive. The operator becomes
+  * a map — at corpus scale that deletes the dedup pipeline's only
+  * remaining row-inflating shuffle.
+  *
+  * Two hash modes (foldable `mode` child), both value-identical to their
+  * pre-existing twins (ScalaTest-asserted):
+  *  - `'md5'` — the DuckDB-portable oracle semantics: vote j reads bit
+  *    (j % 4) of the (j / 4)-th hex nibble of `md5(token)` (UTF-8 bytes),
+  *    exactly the explode/groupBy formulation's
+  *    `shiftright(nibble(substring(md5(tok), 1 + j/4, 1)), j%4) & 1`;
+  *    numBits ≤ 32 (the pre-existing cap).
+  *  - `'xx64'` — production: vote j reads bit j of `xxhash64(token)`
+  *    (seed 42, Spark-identical); numBits ≤ 64, no string hex
+  *    materialization.
+  *
+  * NULL on a NULL or EMPTY token array (the explode twin emits no rows for
+  * such documents — callers filter the NULLs to preserve row parity); a
+  * NULL token element casts no votes (its hash is NULL in the twin, and
+  * `sum` ignores NULLs).
+  */
+case class SimHash(tokens: Expression, numBits: Expression, mode: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = tokens
+  override def second: Expression = numBits
+  override def third: Expression = mode
+  override def prettyName: String = "graft_simhash"
+  override def dataType: DataType = LongType
+  // NULL also arises from an empty token array, independent of child nulls.
+  override def nullable: Boolean = true
+
+  @transient private lazy val nB: Int = numBits.eval().asInstanceOf[Int]
+  @transient private lazy val md5Mode: Boolean =
+    mode.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString == "md5"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (tokens.dataType, numBits.dataType, mode.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, StringType)
+          if numBits.foldable && mode.foldable =>
+        val m = Option(mode.eval()).map(_.toString).orNull
+        val n = numBits.eval()
+        if (m != "md5" && m != "xx64")
+          TypeCheckResult.TypeCheckFailure(s"$prettyName mode must be 'md5' or 'xx64', got $m")
+        else if (n == null || n.asInstanceOf[Int] < 1 ||
+                 n.asInstanceOf[Int] > (if (m == "md5") 32 else 64))
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires 1 <= numBits <= ${if (m == "md5") 32 else 64} for mode $m, got $n")
+        else TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<STRING>, foldable INT, foldable STRING), " +
+          s"got ${a.catalogString}, ${b.catalogString}, ${c.catalogString}")
+    }
+
+  /** Fused vote loop; caller guarantees a non-empty array. Invoked from
+    * both the interpreted path and the generated code (the loop body stays
+    * in one place; the call from generated code keeps the projection inside
+    * WholeStageCodegen, which is what the explode/groupBy twin could not). */
+  def compute(arr: ArrayData): Long = {
+    val votes = new Array[Int](nB)
+    val m = arr.numElements()
+    var j = 0
+    while (j < m) {
+      if (!arr.isNullAt(j)) {
+        val t = arr.getUTF8String(j)
+        if (md5Mode) {
+          val d = SimHash.md5Digest.get()
+          d.reset()
+          val h = d.digest(t.getBytes)
+          var i = 0
+          while (i < nB) {
+            val hexIdx = i / 4
+            val b = h(hexIdx / 2) & 0xff
+            val nibble = if ((hexIdx & 1) == 0) b >>> 4 else b & 0xf
+            if (((nibble >>> (i % 4)) & 1) == 1) votes(i) += 1 else votes(i) -= 1
+            i += 1
+          }
+        } else {
+          val hv = XXH64.hashUTF8String(t, 42L)
+          var i = 0
+          while (i < nB) {
+            if (((hv >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+            i += 1
+          }
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < nB) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  override def nullSafeEval(toksAny: Any, nAny: Any, mAny: Any): Any = {
+    val arr = toksAny.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else compute(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash].getName)
+    nullSafeCodeGen(ctx, ev, (a, _, _) => {
+      s"""
+         |if ($a.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $self.compute($a);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(tokens = newFirst, numBits = newSecond, mode = newThird)
+}
+
+object SimHash {
+  /** Per-thread MD5 digest — `MessageDigest` is stateful and the generated
+    * code may evaluate the expression from many tasks concurrently. */
+  private val md5Digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
 /** Column-level entry point for the native text expressions (no session
   * registration needed); [[graft.plans.GraftExtensions]] additionally
-  * exposes `graft_minhash` to SQL. */
+  * exposes `graft_minhash` / `graft_simhash` to SQL. */
 object TextFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
   /** One-pass xxhash64 MinHash signature: slot i ==
     * `array_min(transform(toks, t => xxhash64(lit(i), t)))` bitwise; NULL
     * on a NULL or empty token array. */
-  def minHashSignature(tokens: Column, numHashes: Int): Column = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
+  def minHashSignature(tokens: Column, numHashes: Int): Column =
     GraftColumnBridge.column(
       MinHashSignature(GraftColumnBridge.expression(tokens), Literal(numHashes)))
-  }
+
+  /** One-pass SimHash fingerprint; `mode` = "md5" (oracle semantics,
+    * numBits ≤ 32) or "xx64" (production, numBits ≤ 64). NULL on a NULL or
+    * empty token array. */
+  def simHash(tokens: Column, numBits: Int, mode: String): Column =
+    GraftColumnBridge.column(SimHash(GraftColumnBridge.expression(tokens),
+      Literal(numBits), Literal(org.apache.spark.unsafe.types.UTF8String.fromString(mode),
+        StringType)))
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, MinHashSignature}
+import graft.functions.{DotProduct, MinHashSignature, SimHash}
 
 /** Session extensions registering the engine's native expressions with the
   * SQL function registry, so `spark.sql("... graft_dot(a, b) ...")` works
@@ -31,6 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"graft_minhash expects 2 arguments, got ${children.length}")
         MinHashSignature(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, s"graft_simhash expects 3 arguments, got ${children.length}")
+        SimHash(children.head, children(1), children(2))
       }))
   }
 }

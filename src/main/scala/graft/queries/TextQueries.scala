@@ -115,6 +115,17 @@ object TextQueries {
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text", bits = 16)
         .select(col("key").cast("long").as("doc_id"), col("simhash").cast("long").as("simhash"))
         .orderBy("doc_id")
+    }),
+
+    // production fingerprint (64-bit, xxhash64 votes, shuffle-free native
+    // expression); rows-only driver check — the md5 twin above carries the
+    // value-level oracle, and the native md5 path is itself oracle-gated
+    // through d_simhash
+    "d_simhash_fast" -> ((s, dir) => {
+      Dedup.simHash(t(s, dir, "documents"), "doc_id", "text", bits = 64,
+          hashing = graft.dedup.XxHashing)
+        .select(col("key").cast("long").as("doc_id"), col("simhash").cast("long").as("simhash"))
+        .orderBy("doc_id")
     })
   )
 
