@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** North-rule algorithm suite at bench scale in a pinned JVM, spawned like
@@ -21,47 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object BenchSuite {
 
-  private def stealSecs(): Double =
-    try {
-      val l = scala.io.Source.fromFile("/proc/stat").getLines().next().trim.split("\\s+")
-      l(8).toDouble / 100.0
-    } catch { case _: Throwable => 0.0 }
-
-  private final class CpuListener extends org.apache.spark.scheduler.SparkListener {
-    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
-    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      val m = te.taskMetrics
-      if (m != null) { cpuNanos.addAndGet(m.executorCpuTime); () }
-    }
-  }
-
   def main(args: Array[String]): Unit = {
     val spec = args(0)
-    val (master, cores) = if (spec.contains("x")) {
-      val Array(nex, nc) = spec.split("x").map(_.toInt)
-      val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
-      (s"local-cluster[$nex,$nc,$memMb]", nex * nc)
-    } else (s"local[$spec]", spec.toInt)
+    val (_, cores) = BenchShared.parseSpec(spec)
     val edgesPath = args(1)
     val parts = if (args.length > 2) args(2).toInt else 128
     val algos = (if (args.length > 3) args(3) else "cc,lp,tri").split(",").toSeq
     val lpRounds = if (args.length > 4) args(4).toInt else 5
 
-    val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
-    val spark = SparkSession.builder()
-      .master(master)
-      .appName(s"graft-bench-suite-$spec")
-      .config("spark.executor.memory", s"${execMemMb}m")
-      .config("spark.memory.storageFraction", sys.env.getOrElse("GRAFT_STORAGE_FRACTION", "0.5"))
-      .config("spark.locality.wait", "0")
-      .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.adaptive.enabled", false)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
-      .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchShared.pinnedSession(spec, s"graft-bench-suite-$spec", parts, aqe = false)
 
     val edges = spark.read.parquet(edgesPath)
     val nEdges = edges.count()
@@ -90,10 +57,10 @@ object BenchSuite {
     }
     warm.unpersist(true)
 
-    val listener = new CpuListener
+    val listener = new BenchShared.CpuListener
     spark.sparkContext.addSparkListener(listener)
     for (algo <- algos) {
-      val pre = stealSecs()
+      val pre = BenchShared.stealSecs()
       val cpu0 = listener.cpuNanos.get()
       val t0 = System.nanoTime()
       val detail: String = algo match {
@@ -118,7 +85,7 @@ object BenchSuite {
           s"unknown=$other"
       }
       val wall = (System.nanoTime() - t0) / 1e9
-      val steal = (stealSecs() - pre) / wall / sys.env.getOrElse("GRAFT_HOST_CORES", "32").toInt
+      val steal = BenchShared.stealFraction(pre, wall)
       val cpuSecs = (listener.cpuNanos.get() - cpu0) / 1e9
       // Throughput normalization: edge-traversals per second — |E| per
       // LP round; |E| once for the single-pass cc fixpoint / triangle jobs.

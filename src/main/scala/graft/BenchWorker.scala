@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** One pinned PageRank measurement in a dedicated JVM (spawned by
   * [[graft.Bench]] under `taskset -c 0..N-1`).
   *
@@ -17,82 +15,21 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchWorker {
 
-  /** Cumulative hypervisor-steal seconds from /proc/stat (col 8). */
-  private def stealSecs(): Double =
-    try {
-      val l = scala.io.Source.fromFile("/proc/stat").getLines().next().trim.split("\\s+")
-      l(8).toDouble / 100.0
-    } catch { case _: Throwable => 0.0 }
-
-  /** Sums executor CPU time across tasks — a hypervisor-steal-immune witness
-    * of per-iteration work (flat across levels when nothing serializes). */
-  private final class CpuListener extends org.apache.spark.scheduler.SparkListener {
-    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
-    val tasks = new java.util.concurrent.atomic.AtomicLong(0L)
-    val shufFetchNanos = new java.util.concurrent.atomic.AtomicLong(0L)
-    val gcMillis = new java.util.concurrent.atomic.AtomicLong(0L)
-    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      val m = te.taskMetrics
-      if (m != null) {
-        cpuNanos.addAndGet(m.executorCpuTime)
-        gcMillis.addAndGet(m.jvmGCTime)
-        if (m.shuffleReadMetrics != null) shufFetchNanos.addAndGet(m.shuffleReadMetrics.fetchWaitTime * 1000000L)
-      }
-      tasks.incrementAndGet()
-      ()
-    }
-    override def onStageSubmitted(s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
-      if (sys.env.contains("GRAFT_BENCH_STAGELOG"))
-        println(s"[stage] id=${s.stageInfo.stageId} tasks=${s.stageInfo.numTasks} " +
-          s"name=${s.stageInfo.name} details=${s.stageInfo.details.linesIterator.take(3).mkString(" | ")}")
-  }
-
   def main(args: Array[String]): Unit = {
-    // "8" -> local[8] (one in-process executor); "4x8" -> local-cluster[4,8,m]
-    // (4 SEPARATE executor JVMs x 8 cores — the faithful single-box analogue
-    // of a 4-executor cluster, including inter-process netty shuffle)
+    // spec grammar in BenchShared.parseSpec ("8" | "4x8"); 8g per executor
+    // default: the 64M-edge working set (CSR cache + a handful of pinned
+    // rank vectors) must fit the SINGLE executor of the low level without
+    // eviction — eviction under an unpersisted-parent lineage was round 2's
+    // within-run degradation (recompute cascades, see BENCH.md)
     val spec = args(0)
-    val (master, cores) = if (spec.contains("x")) {
-      val Array(nex, nc) = spec.split("x").map(_.toInt)
-      // 8g per executor: the 64M-edge working set (CSR cache + a handful of
-      // pinned rank vectors) must fit the SINGLE executor of the low level
-      // without eviction — eviction under an unpersisted-parent lineage was
-      // round 2's within-run degradation (recompute cascades, see BENCH.md)
-      val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
-      (s"local-cluster[$nex,$nc,$memMb]", nex * nc)
-    } else (s"local[$spec]", spec.toInt)
+    val (_, cores) = BenchShared.parseSpec(spec)
     val edgesPath = args(1)
     val maxIter = args(2).toInt
     val tol = args(3).toDouble
     val parts = if (args.length > 4) args(4).toInt else 128
     val aqe = if (args.length > 5) args(5) == "1" else false
 
-    // local-cluster's third parameter is WORKER memory (scheduling budget);
-    // the executor JVM heap is spark.executor.memory and defaults to 1g —
-    // leaving it unset silently starves the caches (measured: adj + rank
-    // vectors evicted every iteration, recompute storms). Set both.
-    val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
-    val spark = SparkSession.builder()
-      .master(master)
-      .appName(s"graft-bench-worker-$spec")
-      .config("spark.executor.memory", s"${execMemMb}m")
-      // protect cached rank vectors + CSR from execution-memory eviction:
-      // the iteration working set is the cache; spills can go to (fast) disk
-      .config("spark.memory.storageFraction", sys.env.getOrElse("GRAFT_STORAGE_FRACTION", "0.5"))
-      // benchmark scheduling: never hold a task wave hostage to block
-      // locality (default 3s/level can stall every wave at multi-executor
-      // levels whose cached partitions live on specific executors)
-      .config("spark.locality.wait", "0")
-      .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.adaptive.enabled", aqe)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      // shuffle files on tmpfs: the single-box analogue of node-local SSDs
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
-      // local-cluster executors are fresh JVMs: give them the graft classes
-      .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchShared.pinnedSession(spec, s"graft-bench-worker-$spec", parts, aqe)
 
     val edges = spark.read.parquet(edgesPath)
     // Warm JIT/codegen once on a small prefix (excluded from timing),
@@ -102,9 +39,9 @@ object BenchWorker {
     // 2x CPU + GC spikes at multi-executor levels).
     graft.algo.PageRank.run(spark, edges.limit(400000).repartition(parts), maxIter = 4)
 
-    val listener = new CpuListener
+    val listener = new BenchShared.CpuListener
     spark.sparkContext.addSparkListener(listener)
-    val pre = stealSecs()
+    val pre = BenchShared.stealSecs()
     val t0 = System.nanoTime()
     var cpuAtLoopStart = 0L
     var lastCpu = 0L; var lastTasks = 0L; var lastGc = 0L; var lastFetch = 0L
@@ -136,7 +73,7 @@ object BenchWorker {
       })
     val wall = (System.nanoTime() - t0) / 1e9
     val hostCores = Runtime.getRuntime.availableProcessors() // = affinity-mask size under taskset
-    val steal = (stealSecs() - pre) / wall / sys.env.getOrElse("GRAFT_HOST_CORES", "32").toInt
+    val steal = BenchShared.stealFraction(pre, wall)
     val cpuPerIter = (listener.cpuNanos.get() - cpuAtLoopStart) / 1e9 / math.max(1, res.iterations)
     spark.stop()
 
