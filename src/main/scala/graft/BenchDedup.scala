@@ -38,13 +38,27 @@ object BenchDedup {
       j => concat(lit("t"), pmod(xxhash64(lit("tok"), src, j), lit(Vocab)))))
   }
 
+  /** STORED text of doc `i`, valid for i % 10 != 0 (non-exact-dup ids).
+    * The dup rules must reference the text the partner doc actually
+    * stores, not its base tokens — when the partner is itself a duplicate
+    * the two differ (caught by `BenchDedupSpec`: ids ≡ 40 (mod 130) were
+    * "exact dups" of a phantom). Expansion depth is provably ≤ 2: exact
+    * dups (id ≡ 0 mod 10) never chain, and two near-dups (id ≡ 0 mod 13)
+    * are never adjacent, so one level of prev-is-exact-dup indirection
+    * closes every case. */
+  private def storedNonExact(i: org.apache.spark.sql.Column) = {
+    val isNear = i % 13 === 0 && i > 0
+    val prev = i - 1
+    // prev's stored base: prev may be an exact dup of prev-1 (and prev-1
+    // is then never a near-dup: it would need both ≡ 12 and ≡ 0 mod 13)
+    val prevBase = when(prev % 10 === 0 && prev > 0, prev - 1).otherwise(prev)
+    when(isNear, concat(baseText(prevBase), lit(" x"), i)).otherwise(baseText(i))
+  }
+
   def corpus(spark: SparkSession, nDocs: Long): DataFrame = {
     val id = col("id")
     val isExactDup = id % 10 === 0 && id > 0
-    val isNearDup = id % 13 === 0 && !isExactDup && id > 0
-    val dupSrc = when(isExactDup, id - 1).otherwise(id)
-    val text = when(isNearDup, concat(baseText(id - 1), lit(" x"), id))
-      .otherwise(baseText(dupSrc))
+    val text = when(isExactDup, storedNonExact(id - 1)).otherwise(storedNonExact(id))
     spark.range(nDocs).select(id.as("doc_id"), text.as("text"))
   }
 
