@@ -11,10 +11,14 @@ import graft.dedup.{Dedup, XxHashing}
   * throughput, executor CPU, steal, and a determinism witness (checksum /
   * result count — must be identical across levels).
   *
-  * All operators run in production mode ([[XxHashing]], native
+  * minhash/lsh/simhash run in production mode ([[XxHashing]], native
   * `graft_minhash`/`graft_simhash` expressions): the md5 twins exist for
   * DuckDB oracle portability and their VALUES are gated by the driver's
-  * correctness run, not by this bench.
+  * correctness run, not by this bench. `exact` is [[Dedup.exact]] as
+  * shipped — it content-hashes with md5 (no hashing-mode parameter), so
+  * its DEDUPRUN lines measure the md5 configuration; its SCALING shape
+  * (one groupBy + one join on the content hash) is hash-agnostic, but an
+  * xx64 seam would lower its per-doc constant.
   *
   * `gen` synthesizes the corpus DETERMINISTICALLY (xxhash64-derived
   * tokens, no RNG, no wall-clock): doc id's base tokens are

@@ -14,8 +14,9 @@ private[graft] object BenchShared {
   /** Cumulative hypervisor-steal seconds from /proc/stat (col 8). */
   def stealSecs(): Double =
     try {
-      val l = scala.io.Source.fromFile("/proc/stat").getLines().next().trim.split("\\s+")
-      l(8).toDouble / 100.0
+      val first = java.nio.file.Files.lines(java.nio.file.Paths.get("/proc/stat"))
+      try first.findFirst.get.trim.split("\\s+")(8).toDouble / 100.0
+      finally first.close()
     } catch { case _: Throwable => 0.0 }
 
   /** Steal fraction of `wall` seconds across the whole host (the mask the

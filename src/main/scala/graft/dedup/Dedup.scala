@@ -196,8 +196,8 @@ object Dedup {
     * native [[graft.functions.SimHash]] expression (the operator is a pure
     * function of one document, so the historical explode-to-|tokens|-rows +
     * groupBy formulation paid a full-corpus row inflation and shuffle for
-    * nothing — see `TextDedupSpec`'s twin-equality test for the retired
-    * shape). Semantics per mode:
+    * nothing — see `TextExpressionsSpec`'s twin-equality tests for the
+    * retired shape). Semantics per mode:
     *
     *  - [[Md5Hashing]] (default, `bits` <= 32): md5-nibble votes so the SQL
     *    oracle reproduces it bit-for-bit — token bit j = nibble j/4 of
@@ -212,8 +212,13 @@ object Dedup {
   def simHash(docs: DataFrame, keyCol: String, textCol: String, bits: Int,
       hashing: DedupHashing = Md5Hashing): DataFrame = {
     val mode = hashing match {
-      case XxHashing => "xx64"
-      case _         => require(bits <= 32); "md5"
+      case XxHashing =>
+        require(bits <= 64, s"xx64 SimHash reads bits of a 64-bit hash: bits=$bits > 64")
+        "xx64"
+      case _ =>
+        require(bits <= 32,
+          s"md5-mode SimHash (the SQL-oracle formulation) caps at 32 bits: bits=$bits; pass hashing = XxHashing for up to 64")
+        "md5"
     }
     docs.select(col(keyCol).cast("long").as("key"),
         graft.functions.TextFunctions.simHash(
