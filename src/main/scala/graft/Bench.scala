@@ -49,8 +49,10 @@ object Bench {
 
   /** One /proc/stat snapshot: (total, idle+iowait, steal) jiffies. */
   private def cpuSample(): (Long, Long, Long) = {
-    val parts = scala.io.Source.fromFile("/proc/stat").getLines().next()
-      .trim.split("\\s+").drop(1).map(_.toLong)
+    val lines = Files.lines(Paths.get("/proc/stat"))
+    val parts =
+      try lines.findFirst.get.trim.split("\\s+").drop(1).map(_.toLong)
+      finally lines.close()
     (parts.sum, parts(3) + parts(4), if (parts.length > 7) parts(7) else 0L)
   }
 
@@ -80,6 +82,51 @@ object Bench {
     val waited = nowSecs - t0
     notes.append(f"$tag: quiet-wait ${waited}%.0fs, ${if (consec >= 2) "quiet" else "EXPIRED (proceeding in noise)"} (last steal=${last._1}%.4f busy=${last._2}%.3f)\n")
     waited
+  }
+
+  // ---- phase-1 contention witness (round-5): the quiet-window gate only
+  // samples BEFORE a phase, and this box's worst noise (neighbor memory-
+  // bandwidth contention) is invisible to /proc/stat steal — two round-5
+  // invocations passed the gate and were then inflated 2×+ mid-phase. The
+  // record can't dodge that, but it CAN self-report it: compare phase-1
+  // walls to the prior committed record's and put the ratios in the
+  // sidecar, so a contaminated invocation is machine-detectable instead of
+  // needing a human to eyeball two JSON files. ----
+
+  /** (invocation id, per-query walls) of a prior `BENCH_LAST.json`, if
+    * readable. Sentinel (negative) walls are dropped. */
+  private[graft] def priorQueryWalls(path: String): (Option[String], Map[String, Double]) =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path))
+      val id = Option(root.path("provenance").path("invocation_id").asText(null))
+      val qs = root.path("queries")
+      val it = qs.fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isNumber && e.getValue.asDouble() > 0) b += e.getKey -> e.getValue.asDouble()
+      }
+      (id, b.result())
+    } catch { case _: Throwable => (None, Map.empty) }
+
+  /** Median wall ratio vs the prior record plus the queries above
+    * `threshold`, over queries timed positively in BOTH records; None when
+    * fewer than 5 are comparable (a ratio over 4 queries is noise, not a
+    * witness). */
+  private[graft] def contentionWitness(prior: Map[String, Double],
+      now: Seq[(String, Double)], threshold: Double = 1.8): Option[(Double, Seq[(String, Double)])] = {
+    val ratios = now.collect {
+      case (n, w) if w > 0 && prior.get(n).exists(_ > 0) => n -> w / prior(n)
+    }
+    if (ratios.size < 5) None
+    else {
+      val sorted = ratios.map(_._2).sorted
+      val med =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+      Some((med, ratios.filter(_._2 > threshold).sortBy(-_._2)))
+    }
   }
 
   /** Spawn one pinned BenchWorker JVM; parse its BENCHRUN line. */
@@ -151,6 +198,10 @@ object Bench {
     // record from a hand-merged one without reading BENCH.md prose.
     val invocationId = s"${System.currentTimeMillis() / 1000}-${ProcessHandle.current().pid()}"
     var phase1State = "skipped"
+    // Prior record read BEFORE this invocation's first sidecar dump
+    // overwrites it; feeds the phase-1 contention witness.
+    val (priorId, priorWalls) = priorQueryWalls("/root/repo/BENCH_LAST.json")
+    var witness: Option[(Double, Seq[(String, Double)])] = None
 
     // Full-precision record as a repo sidecar the driver or judge can ingest
     // whole (round-3 verdict #1/#3). Written at EVERY phase boundary, not
@@ -165,9 +216,13 @@ object Bench {
         s""","scaling":{$s}"""
       }
       val sentinels = queryResults.filter(_._2 < 0).map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")
+      val wit = witness.map { case (med, inflated) =>
+        val infl = inflated.map { case (n, r) => "\"" + n + "\":" + fmt(r) }.mkString("{", ",", "}")
+        s""","prior_record":"${priorId.getOrElse("")}","phase1_inflation_p50":${fmt(med)},"phase1_inflated":$infl"""
+      }.getOrElse("")
       val prov = s""","provenance":{"invocation_id":"$invocationId","phase1":"$phase1State",""" +
         s""""phase1_sentinels":$sentinels,"scaling_runs":${scaling.getOrElse("pr_runs_per_level", 0.0).toInt},""" +
-        s""""single_invocation":true}"""
+        s""""single_invocation":true$wit}"""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$extra$prov}"""
     }
     // Guard: a gen-only invocation (both phases skipped, e.g. the
@@ -276,6 +331,14 @@ object Bench {
           }
         }
         phase1State = if (queryResults.exists(_._2 < 0)) "partial" else "complete"
+        witness = contentionWitness(priorWalls, queryResults)
+        witness.foreach { case (med, inflated) =>
+          notes.append(f"phase1 contention witness vs prior record ${priorId.getOrElse("?")}: " +
+            f"median wall ratio ${med}%.2f" + (
+            if (inflated.isEmpty) " , no query above 1.8x\n"
+            else inflated.map { case (n, r) => f"$n ${r}%.1fx" }
+              .mkString(" ; above 1.8x: ", ", ", " (window contaminated mid-phase; treat absolute walls as upper bounds)\n")))
+        }
         dumpSidecar() // phase-1 record survives a later kill
         // ---- phase 2: bench edge table + static structures (same session) ----
         val benchEdgesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EDGES", "/tmp/graft_bench_edges_12m")
@@ -574,7 +637,12 @@ object Bench {
          |This file and `BENCH_LAST.json` were written by ONE `graft.Bench`
          |invocation; the sidecar's `provenance` object carries the invocation
          |id, phase-1 completeness, and sentinel list, and is the authoritative
-         |machine-readable record. (The driver's `BENCH_r{N}.json` `parsed`
+         |machine-readable record. When a prior record was readable at start,
+         |it also carries the phase-1 contention witness (`prior_record`,
+         |`phase1_inflation_p50`, `phase1_inflated` = queries > 1.8x their
+         |prior walls): the quiet gate only samples BEFORE a phase, and this
+         |host's bandwidth contention is invisible to steal, so the witness is
+         |how a mid-phase-contaminated invocation self-reports. (The driver's `BENCH_r{N}.json` `parsed`
          |field can read `null` when its stdout parser skips the contract
          |line — the record still exists in the sidecar; this note is the
          |standing explanation.) All invocations contributing to the round's
