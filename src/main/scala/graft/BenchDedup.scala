@@ -15,10 +15,12 @@ import graft.dedup.{Dedup, XxHashing}
   * `graft_minhash`/`graft_simhash` expressions): the md5 twins exist for
   * DuckDB oracle portability and their VALUES are gated by the driver's
   * correctness run, not by this bench. `exact` is [[Dedup.exact]] as
-  * shipped — it content-hashes with md5 (no hashing-mode parameter), so
-  * its DEDUPRUN lines measure the md5 configuration; its SCALING shape
-  * (one groupBy + one join on the content hash) is hash-agnostic, but an
-  * xx64 seam would lower its per-doc constant.
+  * shipped — it content-hashes with md5 (128 bits: exact dedup asserts
+  * equality, so a single 64-bit hash's birthday mass is a correctness
+  * risk, not a tuning knob), so its DEDUPRUN lines measure the md5
+  * configuration; `exact_xx` (opt-in via opsCsv) measures
+  * [[Dedup.exactXx]], the 128-bit xxhash64-pair production path with the
+  * identical plan shape.
   *
   * `gen` synthesizes the corpus DETERMINISTICALLY (xxhash64-derived
   * tokens, no RNG, no wall-clock): doc id's base tokens are
@@ -108,6 +110,11 @@ object BenchDedup {
       def opRun(name: String, d: DataFrame): (Long, Long) = name match {
         case "exact" =>
           val r = Dedup.exact(d, "doc_id", "text")
+            .select(xxhash64(col("doc_id"), col("canonical"), col("group_size")).as("h"))
+            .agg(expr("bit_xor(h)").as("cs"), count(lit(1)).as("n")).head()
+          (r.getLong(0), r.getLong(1))
+        case "exact_xx" =>
+          val r = Dedup.exactXx(d, "doc_id", "text")
             .select(xxhash64(col("doc_id"), col("canonical"), col("group_size")).as("h"))
             .agg(expr("bit_xor(h)").as("cs"), count(lit(1)).as("n")).head()
           (r.getLong(0), r.getLong(1))

@@ -64,9 +64,30 @@ object Dedup {
   /** Pluggable token hash: portable md5 string (oracle mode). */
   def hashExpr(c: Column, salt: Int): Column = Md5Hashing.tokenHash(c, salt)
 
-  /** Exact dedup: canonical representative (min key) per identical text. */
-  def exact(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
-    val h = docs.select(col(keyCol).cast("long").as("key"), md5(col(textCol)).as("content_hash"))
+  /** Exact dedup: canonical representative (min key) per identical text.
+    *
+    * The content hash is deliberately NOT the 64-bit xxhash64 the
+    * candidate-generation ops use in production mode: exact dedup asserts
+    * EQUALITY, so a collision silently merges distinct documents, and at
+    * web scale a single 64-bit hash has non-negligible birthday mass
+    * (~1e-4 at 64M docs, ~0.3 at 10^10). md5's 128 bits keep that
+    * probability negligible AND reproduce in the SQL oracle. For
+    * production without md5's per-byte cost, [[exactXx]] groups on a
+    * 128-bit pair of independently seeded xxhash64s — same plan shape,
+    * same collision class. */
+  def exact(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
+    exactOn(docs, keyCol, md5(col(textCol)).as("content_hash"))
+
+  /** [[exact]] with a 128-bit xxhash64-pair content hash — the production
+    * fast path (no 32-hex-char string materialization; two codegen'd
+    * 64-bit hashes). One shuffle on the packed hash struct, identical
+    * result set to [[exact]] short of a 2^-128-class collision. */
+  def exactXx(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
+    exactOn(docs, keyCol,
+      struct(xxhash64(lit(0), col(textCol)), xxhash64(lit(1), col(textCol))).as("content_hash"))
+
+  private def exactOn(docs: DataFrame, keyCol: String, contentHash: Column): DataFrame = {
+    val h = docs.select(col(keyCol).cast("long").as("key"), contentHash)
     val rep = h.groupBy("content_hash").agg(min("key").as("canonical"), count(lit(1)).as("group_size"))
     h.join(rep, "content_hash")
       .select(col("key").as(keyCol), col("canonical"), col("group_size"))

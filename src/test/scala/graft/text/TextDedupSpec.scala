@@ -45,6 +45,20 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
   }
 
+  test("exactXx (128-bit xxhash64-pair production path) returns the same result set as exact") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 200L).map { i =>
+      // ~1 in 3 docs repeats an earlier doc's text verbatim
+      val t = if (i > 3 && rnd.nextInt(3) == 0) s"doc ${1 + rnd.nextInt((i - 1).toInt)} body"
+              else s"doc $i body"
+      (i, t)
+    }
+    val d = docs(rows: _*)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(canon(Dedup.exactXx(d, "doc_id", "text")) == canon(Dedup.exact(d, "doc_id", "text")))
+  }
+
   test("minhash: identical docs share signatures; jaccard-similar docs share some") {
     val d = docs((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d f"), (4L, "q r s t u"))
     val sig = Dedup.minHashSignatures(d, "doc_id", "text", 8).collect()
