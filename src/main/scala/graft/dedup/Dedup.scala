@@ -81,9 +81,15 @@ object Dedup {
   /** [[exact]] with a 128-bit xxhash64-pair content hash — the production
     * fast path (no 32-hex-char string materialization; two codegen'd
     * 64-bit hashes). One shuffle on the packed hash struct, identical
-    * result set to [[exact]] short of a 2^-128-class collision. */
+    * result set to [[exact]] short of a 2^-128-class collision.
+    *
+    * NULL-text rows are filtered explicitly: [[exact]] drops them as a
+    * side effect of the NULL content hash never matching in the join,
+    * but Spark's `xxhash64` passes its seed through unchanged on NULL
+    * input, so without the filter every NULL-text doc would share one
+    * (non-NULL) hash pair and be merged into a single bogus group. */
   def exactXx(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
-    exactOn(docs, keyCol,
+    exactOn(docs.where(col(textCol).isNotNull), keyCol,
       struct(xxhash64(lit(0), col(textCol)), xxhash64(lit(1), col(textCol))).as("content_hash"))
 
   private def exactOn(docs: DataFrame, keyCol: String, contentHash: Column): DataFrame = {

@@ -54,6 +54,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // The 128-bit xxhash64-pair production path. Unlike the other _fast
+    // variants its OUTPUT is hash-independent (keys + group sizes), so it
+    // carries the same full value oracle as d_exact — DuckDB groups by
+    // text equality and must agree exactly.
+    "d_exact_fast" -> ((s, dir) => {
+      Dedup.exactXx(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id").cast("long").as("doc_id"), col("canonical").cast("long").as("canonical"),
+          col("group_size").cast("long").as("group_size"))
+        .orderBy("doc_id")
+    }),
+
     "d_minhash_sig" -> ((s, dir) => {
       Dedup.minHashSignatures(t(s, dir, "documents"), "doc_id", "text", numHashes = 4)
         .select(col("key").cast("long").as("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
@@ -199,6 +210,15 @@ object TextQueries {
         |SELECT h.doc_id::BIGINT AS doc_id, rep.canonical::BIGINT AS canonical,
         |       rep.group_size::BIGINT AS group_size
         |FROM h JOIN rep ON h.content_hash = rep.content_hash ORDER BY doc_id""".stripMargin,
+
+    // oracle groups by the TEXT itself: any correct content-hash equality
+    // grouping (md5 or the xxhash64 pair) must reproduce it exactly
+    "d_exact_fast" ->
+      """WITH rep AS (SELECT text, min(doc_id) AS canonical, count(*) AS group_size
+        |             FROM documents GROUP BY text)
+        |SELECT d.doc_id::BIGINT AS doc_id, rep.canonical::BIGINT AS canonical,
+        |       rep.group_size::BIGINT AS group_size
+        |FROM documents d JOIN rep ON d.text = rep.text ORDER BY doc_id""".stripMargin,
 
     "d_minhash_sig" -> {
       val mh = (0 until 4).map(i => s"min(md5('$i:' || tok)) AS mh$i").mkString(", ")

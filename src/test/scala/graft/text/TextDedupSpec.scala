@@ -52,11 +52,20 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
       val t = if (i > 3 && rnd.nextInt(3) == 0) s"doc ${1 + rnd.nextInt((i - 1).toInt)} body"
               else s"doc $i body"
       (i, t)
-    }
+    } ++ Seq(
+      // NULL texts: exact drops them via the NULL-hash join; exactXx must
+      // filter them (xxhash64 passes the seed through on NULL, so unfiltered
+      // they would all merge into one bogus group). Empty strings are real
+      // content and must still group together.
+      (900L, null.asInstanceOf[String]), (901L, null.asInstanceOf[String]),
+      (902L, ""), (903L, ""))
     val d = docs(rows: _*)
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(canon(Dedup.exactXx(d, "doc_id", "text")) == canon(Dedup.exact(d, "doc_id", "text")))
+    val xx = canon(Dedup.exactXx(d, "doc_id", "text"))
+    assert(xx == canon(Dedup.exact(d, "doc_id", "text")))
+    assert(!xx.exists(r => r._1 == 900L || r._1 == 901L)) // NULLs absent
+    assert(xx.contains((902L, 902L, 2L)) && xx.contains((903L, 902L, 2L))) // empties group
   }
 
   test("minhash: identical docs share signatures; jaccard-similar docs share some") {
