@@ -50,10 +50,23 @@ object Triangles {
         explode(array_intersect(col("unbrs"), col("vnbrs"))).as("c"))
   }
 
-  /** Global triangle count (fixture goldens: K_n -> C(n,3), trees/paths -> 0). */
+  /** Global triangle count (fixture goldens: K_n -> C(n,3), trees/paths -> 0).
+    *
+    * Counts WITHOUT materializing a row per triangle: the count equals the
+    * summed intersection size over oriented edges, so the final
+    * `explode(array_intersect)` of [[enumerate]] — which at sf0.1 produced
+    * ~10^7 rows only to be counted — is replaced by `sum(size(...))` in the
+    * same join (guide §1.1 first-principles: no pass over data the result
+    * does not need). Identical value: explode emits exactly one row per
+    * intersection element. */
   def globalCount(spark: SparkSession, edges: DataFrame): Long = {
-    val t = enumerate(spark, edges).count()
-    t
+    val adj = orient(spark, edges)
+      .groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+    adj.select(col("src"), explode(col("nbrs")).as("dst"), col("nbrs").as("unbrs"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("vnbrs")), "dst")
+      .agg(coalesce(sum(size(array_intersect(col("unbrs"), col("vnbrs")))), lit(0L)).as("n"))
+      .head().getLong(0)
   }
 
   /** Per-vertex triangle counts (vertices in no triangle get 0),

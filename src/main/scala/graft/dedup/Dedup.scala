@@ -64,6 +64,17 @@ object Dedup {
   /** Pluggable token hash: portable md5 string (oracle mode). */
   def hashExpr(c: Column, salt: Int): Column = Md5Hashing.tokenHash(c, salt)
 
+  /** Spread a compute-heavy scan across the session's parallelism when the
+    * source yields fewer splits than cores (guide §2.5 input skew: a single
+    * small parquet file is ONE scan partition, so the tokenize + per-token
+    * hashing that precedes the first exchange would run on one core).
+    * Conditional, so at production scale — where the corpus scan already
+    * has thousands of splits — no extra shuffle of the raw text is paid. */
+  private def fanOut(docs: DataFrame, keyCol: String): DataFrame = {
+    val p = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (docs.rdd.getNumPartitions * 2 <= p) docs.repartition(p, col(keyCol)) else docs
+  }
+
   /** Exact dedup: canonical representative (min key) per identical text.
     *
     * The content hash is deliberately NOT the 64-bit xxhash64 the
@@ -150,7 +161,15 @@ object Dedup {
   def lshCandidates(docs: DataFrame, keyCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, maxBucketSize: Long = 100000L,
       hashing: DedupHashing = Md5Hashing): DataFrame = {
-    val exploded = lshBandRows(docs, keyCol, textCol, numHashes, rowsPerBand, hashing)
+    // The band rows feed FOUR plan branches (bucket sizes + the semi join +
+    // both sides of the self-join); with the bucket filter broadcast there
+    // is no exchange to reuse, so without the persist the whole signature
+    // build (the corpus-linear scan) ran once per branch (measured: 4
+    // parquet scans + 4 Generate/minhash subtrees in the round-5 plan).
+    // The persisted frame is metadata-only — (key, band, bh) — never the
+    // text (guide §8: decide on small rows).
+    val exploded = lshBandRows(fanOut(docs, keyCol), keyCol, textCol, numHashes, rowsPerBand, hashing)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = observeDropped(docs.sparkSession,
       exploded.groupBy("band", "bh").agg(count(lit(1)).as("bn")), maxBucketSize)
     val small = sizes.where(col("bn") <= maxBucketSize).select("band", "bh")
@@ -169,7 +188,7 @@ object Dedup {
   def oversizedLshBuckets(docs: DataFrame, keyCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, maxBucketSize: Long,
       hashing: DedupHashing = Md5Hashing): DataFrame =
-    lshBandRows(docs, keyCol, textCol, numHashes, rowsPerBand, hashing)
+    lshBandRows(fanOut(docs, keyCol), keyCol, textCol, numHashes, rowsPerBand, hashing)
       .groupBy("band", "bh").agg(count(lit(1)).as("bn"))
       .where(col("bn") > maxBucketSize)
 
@@ -199,14 +218,22 @@ object Dedup {
     * raw shingle strings (the production fast path). */
   def ngramJaccard(docs: DataFrame, keyCol: String, textCol: String, k: Int,
       maxShingleDf: Long = 10000L, hashing: DedupHashing = Md5Hashing): DataFrame = {
-    val sh0 = docs.select(col(keyCol).cast("long").as("key"),
+    // Persist discipline mirrors [[lshCandidates]]: the shingle explosion
+    // (the corpus-linear scan) feeds the df-cap aggregate AND the semi
+    // join, and the surviving inverted index feeds three branches (sizes +
+    // both sides of the self-join) — without the persists each branch
+    // recomputed the tokenize + shingle + hash pipeline from the scan.
+    // Both frames carry (key, shingle-key) only, never the text.
+    val sh0 = fanOut(docs, keyCol).select(col(keyCol).cast("long").as("key"),
         explode(array_distinct(TextOps.shingles(col(textCol), k))).as("sh_raw"))
       .select(col("key"), hashing.shingleKey(col("sh_raw")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // document-frequency cap: one extra groupBy on the shingle hash
     val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleDf)
       .select("sh")
     val sh = sh0.join(rare, Seq("sh"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("key").agg(count(lit(1)).as("n"))
     val pairs = sh.as("l").join(sh.as("r"),
         col("l.sh") === col("r.sh") && col("l.key") < col("r.key"))

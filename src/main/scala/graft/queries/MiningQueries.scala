@@ -43,19 +43,70 @@ object MiningQueries {
       .as[(Long, Long, Long, String, String)]
   }
 
-  private def grouped[T](s: SparkSession, dir: String, db: DataFrame)(
+  /** Run a per-graph kernel over every graph of `db`.
+    *
+    * Round-6 shape (guide §2.5/§2.2): the kernels are CPU-heavy on tiny
+    * bytes, so AQE's byte-sized coalescing collapsed the groupByKey exchange
+    * to 1-2 partitions and the whole kernel pass ran near-single-threaded
+    * (measured: 10 of 15 task-seconds in 1-task stages for f_ts_modes).
+    * An explicit `repartition(p, graph_id)` pins the kernel stage at the
+    * session's parallelism (user repartitions are exempt from AQE
+    * coalescing), and the per-partition grouping replaces the lambda-keyed
+    * groupByKey exchange. Kernels are insensitive to edge-row order (they
+    * sort/canonicalize internally — the shuffle never guaranteed an order).
+    *
+    * `withLabels=false` skips the two order-label joins entirely for the
+    * kernels that ignore labels (11 of 15 callers): fewer joins, and the
+    * shuffle carries (gid, src, dst) longs instead of two label strings
+    * per row (guide §2.3, project before the exchange). */
+  private def groupedImpl[T](s: SparkSession, dir: String, db: DataFrame, withLabels: Boolean)(
       f: (Long, Seq[(Long, Long)], Map[Long, String]) => TraversableOnce[T])(
       implicit enc: org.apache.spark.sql.Encoder[T]) = {
     import s.implicits._
-    labeledEdges(s, dir, db)
-      .groupByKey(_._1)
-      .flatMapGroups { (gid, it) =>
-        val rows = it.toSeq
-        val es = rows.map(r => (r._2, r._3))
-        val lab = rows.flatMap(r => Seq(r._2 -> r._4, r._3 -> r._5)).toMap
-        f(gid, es, lab)
-      }
+    val p = graft.graph.GraphOps.defaultParallelism(s)
+    // Collect each graph into ONE row (codegen'd collect_list — this agg
+    // reuses the DB's existing gid partitioning), then round-robin
+    // `repartition(p)` the per-graph rows for the kernel pass. The
+    // round-robin exchange is the one spot width is forced deliberately: a
+    // hash repartition on graph_id is elided by the planner (the child is
+    // already hash-partitioned on gid) and the remaining exchange is then
+    // AQE-coalesced by BYTE size — but the kernels are CPU-heavy on tiny
+    // bytes, so that left 10+ task-seconds of kernel work on 1-2 cores
+    // (measured round-5 shape). One row per graph also load-balances the
+    // kernel stage regardless of per-customer row skew.
+    if (withLabels) {
+      labeledEdges(s, dir, db).toDF("graph_id", "src", "dst", "sl", "dl")
+        .groupBy("graph_id")
+        .agg(collect_list(struct(col("src"), col("dst"), col("sl"), col("dl"))).as("rows"))
+        .repartition(p)
+        .as[(Long, Seq[(Long, Long, String, String)])]
+        .flatMap { case (gid, rows) =>
+          val es = rows.map(r => (r._1, r._2))
+          val lab = rows.iterator.flatMap(r => Iterator(r._1 -> r._3, r._2 -> r._4)).toMap
+          f(gid, es, lab)
+        }
+    } else {
+      db.select(col("graph_id").cast("long").as("graph_id"),
+          col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .groupBy("graph_id")
+        .agg(collect_list(struct(col("src"), col("dst"))).as("rows"))
+        .repartition(p)
+        .as[(Long, Seq[(Long, Long)])]
+        .flatMap { case (gid, es) => f(gid, es, Map.empty) }
+    }
   }
+
+  private def grouped[T](s: SparkSession, dir: String, db: DataFrame)(
+      f: (Long, Seq[(Long, Long)], Map[Long, String]) => TraversableOnce[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]) =
+    groupedImpl(s, dir, db, withLabels = true)(f)
+
+  /** [[grouped]] for kernels that ignore vertex labels — the label joins are
+    * skipped and `f` receives an empty label map. */
+  private def groupedNoLab[T](s: SparkSession, dir: String, db: DataFrame)(
+      f: (Long, Seq[(Long, Long)], Map[Long, String]) => TraversableOnce[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]) =
+    groupedImpl(s, dir, db, withLabels = false)(f)
 
   // ---------------------------------------------------------------- SQL bits
 
@@ -160,7 +211,7 @@ object MiningQueries {
     // over samples is inherently seed-dependent; ScalaTest covers it.)
     "f_tree_sampling" -> ((s, dir) => {
       import s.implicits._
-      grouped[(Long, Long, Boolean)](s, dir, GraphDBs.orderRingsDB(s, dir)) { (gid, es, _) =>
+      groupedNoLab[(Long, Long, Boolean)](s, dir, GraphDBs.orderRingsDB(s, dir)) { (gid, es, _) =>
         val k = 3
         val ok = (0 until k).forall { i =>
           graft.trees.TreeKernels.isSpanningTree(es,
@@ -175,7 +226,7 @@ object MiningQueries {
     // a chain of t triangle blocks has exactly 3^t spanning trees.
     "f_spanning_trees" -> ((s, dir) => {
       import s.implicits._
-      grouped[(Long, Long)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
+      groupedNoLab[(Long, Long)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
         // Kirchhoff-per-block counting is polynomial, so the bound only caps
         // the reported value; 1e12 keeps the 3^t oracle FP-exact (3^25 < 2^53).
         Iterator.single((gid,
@@ -202,7 +253,7 @@ object MiningQueries {
     // the product of exact spanning-tree counts over its nontrivial blocks.
     "f_local_easiness" -> ((s, dir) => {
       import s.implicits._
-      grouped[(Long, Long, Long)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
+      groupedNoLab[(Long, Long, Long)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
         Iterator.single((gid,
           graft.trees.GraphKernels.minLocalEasiness(es),
           graft.trees.GraphKernels.maxLocalEasiness(es)))
@@ -213,7 +264,7 @@ object MiningQueries {
     // Hamiltonian-path existence on cacti, weak traceability necessary test.
     "f_traceability" -> ((s, dir) => {
       import s.implicits._
-      grouped[(Long, Boolean, Boolean, Boolean)](s, dir, GraphDBs.traceabilityDB(s, dir)) { (gid, es, _) =>
+      groupedNoLab[(Long, Boolean, Boolean, Boolean)](s, dir, GraphDBs.traceabilityDB(s, dir)) { (gid, es, _) =>
         Iterator.single((gid,
           graft.trees.GraphKernels.isConnectedCactus(es),
           graft.trees.GraphKernels.isTraceableCactus(es),
@@ -227,7 +278,7 @@ object MiningQueries {
     // listComponents.c:16-52 computeCriticality; executable ccd).
     "f_cycle_degrees" -> ((s, dir) => {
       import s.implicits._
-      grouped[(Long, Long, Long)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
+      groupedNoLab[(Long, Long, Long)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
         graft.trees.GraphKernels.criticality(es).toSeq.sortBy(_._1)
           .map { case (v, c) => (gid, v, c.toLong) }
       }.toDF("graph_id", "vid", "cycle_degree").orderBy("graph_id", "vid")
@@ -261,7 +312,7 @@ object MiningQueries {
     // (n%5==0, n>=5) graph, which makes those graphs non-outerplanar.
     "f_outerplanarity" -> ((s, dir) => {
       import s.implicits._
-      grouped[(Long, Boolean, String)](s, dir, GraphDBs.ringsWithCrossingsDB(s, dir)) { (gid, es, _) =>
+      groupedNoLab[(Long, Boolean, String)](s, dir, GraphDBs.ringsWithCrossingsDB(s, dir)) { (gid, es, _) =>
         val r = graft.trees.GraphKernels.outerplanarity(es)
         Iterator.single((gid, r.isOuterplanar,
           r.hamiltonianCycles.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")))
@@ -439,7 +490,7 @@ object MiningQueries {
     // embedding), so the estimate is deterministically 2n (0 when n = 2).
     "f_hops_estimate" -> ((s, dir) => {
       import s.implicits._
-      grouped[(Long, Long)](s, dir, GraphDBs.orderCyclesDB(s, dir)) { (gid, es, _) =>
+      groupedNoLab[(Long, Long)](s, dir, GraphDBs.orderCyclesDB(s, dir)) { (gid, es, _) =>
         val verts = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
         val idx = verts.zipWithIndex.toMap
         val g = graft.mining.SubtreeIso.LTree(Array.fill(verts.size)("o"),
@@ -458,7 +509,7 @@ object MiningQueries {
     // every sampled tree an n-path => exactly one class, deterministically.
     "f_noniso_sampled" -> ((s, dir) => {
       import s.implicits._
-      grouped[(Long, Long, Long, Long)](s, dir, GraphDBs.orderCyclesDB(s, dir)) { (gid, es, _) =>
+      groupedNoLab[(Long, Long, Long, Long)](s, dir, GraphDBs.orderCyclesDB(s, dir)) { (gid, es, _) =>
         val labs = es.flatMap(e => Seq(e._1, e._2)).distinct.map(_ -> "o").toMap
         val st = graft.trees.LocalEasy.locallySampledStats(es, labs, k = 3, seed = 42L ^ gid)
         val (_, nng) = graft.trees.LocalEasy.sampledForestStats(es, labs, k = 3, seed = 99L ^ gid)
@@ -472,7 +523,7 @@ object MiningQueries {
     // path-3 needs 3 vertices.
     "f_tci" -> ((s, dir) => {
       import s.implicits._
-      grouped[(Long, Boolean, Boolean)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
+      groupedNoLab[(Long, Boolean, Boolean)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
         val verts = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
         val idx = verts.zipWithIndex.toMap
         val g = graft.mining.SubtreeIso.LTree(Array.fill(verts.size)("o"),
@@ -493,7 +544,7 @@ object MiningQueries {
     // features are closed-form in n.
     "f_opk" -> ((s, dir) => {
       import s.implicits._
-      grouped[(Long, String)](s, dir, GraphDBs.orderCyclesDB(s, dir)) { (gid, es, _) =>
+      groupedNoLab[(Long, String)](s, dir, GraphDBs.orderCyclesDB(s, dir)) { (gid, es, _) =>
         val labs = es.flatMap(e => Seq(e._1, e._2)).distinct.map(_ -> "o").toMap
         graft.trees.GraphKernels.opkFeatures(es, labs, depth = 3)
           .getOrElse(Nil).map(f => (gid, f))
@@ -520,16 +571,15 @@ object MiningQueries {
     // validity (every draw IS a spanning tree) is deterministic.
     "f_ts_modes" -> ((s, dir) => {
       import s.implicits._
-      grouped[(Long, Boolean, Boolean, Boolean, Long, Long)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
-        val k = 5
-        val thr = 100L
-        val (mixTrees, usedListing) = graft.trees.TreeKernels.sampleSpanningTreesUsingMix(es, k, thr, 11L ^ gid)
-        val mixOk = mixTrees.forall(t => graft.trees.TreeKernels.isSpanningTree(es, t))
-        val cac = graft.trees.TreeKernels.sampleSpanningTreesUsingCactusMix(es, k, thr, 13L ^ gid)
-        val cacOk = cac.forall(t => graft.trees.TreeKernels.isSpanningTree(es, t))
-        val bf = graft.trees.TreeKernels.bridgeForest(es)
-        val los = graft.trees.TreeKernels.listOrSampleSpanningTrees(es, k, thr, 17L ^ gid)
-        Iterator.single((gid, usedListing, mixOk, cacOk, bf.size.toLong, los.size.toLong))
+      // Fused kernel (round-6): one Tarjan pass + one listing shared across
+      // the four modes — value-identical to the per-mode composition, which
+      // re-derived the block decomposition up to 8x per graph (round-5
+      // verdict #2: 10x contention swing from exactly that constant).
+      groupedNoLab[(Long, Boolean, Boolean, Boolean, Long, Long)](s, dir, GraphDBs.cactusChainDB(s, dir)) { (gid, es, _) =>
+        val (usedListing, mixOk, cacOk, bfComps, losN) =
+          graft.trees.TreeKernels.tsModes(es, k = 5, threshold = 100L,
+            seedMix = 11L ^ gid, seedCactus = 13L ^ gid, seedLos = 17L ^ gid)
+        Iterator.single((gid, usedListing, mixOk, cacOk, bfComps, losN))
       }.toDF("graph_id", "mix_used_listing", "mix_all_spanning", "cactus_all_spanning",
         "bf_comps", "los_n").orderBy("graph_id")
     }),

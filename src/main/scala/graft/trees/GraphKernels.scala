@@ -273,6 +273,23 @@ object GraphKernels {
     * per-block spanning-tree upper bound (product over blocks of
     * C(m, n-1), log-space like the reference's lgamma nCr,
     * `upperBoundsForSpanningTrees.c:12-62`). */
+  /** ln of the per-block spanning-tree upper bound product — C(m, n-1) per
+    * block (reference `upperBoundsForSpanningTrees.c`). Factored out of
+    * [[blockStats]] so callers holding an already-computed block
+    * decomposition (the fused ts-modes kernel) reuse it without a second
+    * Tarjan pass; the arithmetic (term order included) is byte-identical to
+    * the historical inline version. */
+  private[trees] def spanningTreeEstimateLogFromBlocks(blocks: Seq[Seq[Edge]]): Double = {
+    def lnCr(m: Int, k: Int): Double = {
+      def lg(x: Int) = (2 to x).map(i => math.log(i)).sum
+      if (k < 0 || k > m) 0.0 else lg(m) - lg(k) - lg(m - k)
+    }
+    blocks.map { b =>
+      val n = b.flatMap(e => Seq(e._1, e._2)).distinct.size
+      lnCr(b.size, n - 1)
+    }.sum
+  }
+
   def blockStats(edges: Seq[Edge]): BlockStats = {
     val blocks = biconnectedComponents(edges)
     val bridges = blocks.count(_.size == 1)
@@ -286,14 +303,7 @@ object GraphKernels {
       val n = b.flatMap(e => Seq(e._1, e._2)).distinct.size
       b.size == n
     }
-    def lnCr(m: Int, k: Int): Double = {
-      def lg(x: Int) = (2 to x).map(i => math.log(i)).sum
-      if (k < 0 || k > m) 0.0 else lg(m) - lg(k) - lg(m - k)
-    }
-    val estLog = blocks.map { b =>
-      val n = b.flatMap(e => Seq(e._1, e._2)).distinct.size
-      lnCr(b.size, n - 1)
-    }.sum
+    val estLog = spanningTreeEstimateLogFromBlocks(blocks)
     BlockStats(blocks.size.toLong, bridges.toLong, nontrivial.size.toLong,
       if (blockDegrees.isEmpty) 0L else blockDegrees.max,
       if (blockDegrees.isEmpty) 0L else blockDegrees.min,

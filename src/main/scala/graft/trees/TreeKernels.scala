@@ -318,10 +318,16 @@ object TreeKernels {
     * sampleSpanningTreeFromCactus — cycle blocks have exactly m spanning
     * trees, one per removable edge, independent across blocks). None when
     * some nontrivial block is not a cycle. */
-  def sampleCactusSpanningTree(edges: Seq[Edge], seed: Long): Option[Seq[Edge]] = {
+  def sampleCactusSpanningTree(edges: Seq[Edge], seed: Long): Option[Seq[Edge]] =
+    sampleCactusFromBlocks(GraphKernels.biconnectedComponents(edges), seed)
+
+  /** [[sampleCactusSpanningTree]] body over an already-computed block
+    * decomposition (blocks iterated in the given order; the RNG consumption
+    * is identical to the historical inline version). */
+  private def sampleCactusFromBlocks(blocks: Seq[Seq[Edge]], seed: Long): Option[Seq[Edge]] = {
     val rnd = new Random(seed)
     val out = mutable.ArrayBuffer[Edge]()
-    for (block <- GraphKernels.biconnectedComponents(edges)) {
+    for (block <- blocks) {
       if (block.size == 1) out += block.head
       else {
         val nv = block.flatMap(e => Seq(e._1, e._2)).distinct.size
@@ -366,6 +372,91 @@ object TreeKernels {
       listSpanningTrees(edges, math.min(threshold, Int.MaxValue.toLong).toInt)
         .getOrElse((0 until k).map(i => wilsonSpanningTree(edges, seed + i)))
     else (0 until k).map(i => wilsonSpanningTree(edges, seed + i))
+  }
+
+  /** All four `ts` sampler modes of the `f_ts_modes` query evaluated over
+    * ONE shared block decomposition (round-5 verdict: the composed per-mode
+    * calls re-ran Tarjan up to 8x per graph — twice inside
+    * `goodEstimateCount`, once per cactus draw, once for the bridge forest —
+    * and `listSpanningTrees` twice, which made the query's constant
+    * pathologically contention-sensitive). Each mode's RNG consumption and
+    * arithmetic reproduce the composed originals exactly, so the returned
+    * row `(usedListing, mixAllSpanning, cactusAllSpanning, bridgeForestComps,
+    * listOrSampleCount)` is value-identical — asserted against the composed
+    * formulation in `SpanningKernelsSpec`.
+    *
+    * Falls back to the composed calls when `threshold` exceeds the listing
+    * bound (1e6), where the shared-listing argument would not hold; the
+    * query uses threshold = 100. */
+  def tsModes(edges: Seq[Edge], k: Int, threshold: Long,
+      seedMix: Long, seedCactus: Long, seedLos: Long): (Boolean, Boolean, Boolean, Long, Long) = {
+    if (threshold > 1000000L) {
+      val (mixTrees, usedListing) = sampleSpanningTreesUsingMix(edges, k, threshold, seedMix)
+      val cac = sampleSpanningTreesUsingCactusMix(edges, k, threshold, seedCactus)
+      return (usedListing, mixTrees.forall(t => isSpanningTree(edges, t)),
+        cac.forall(t => isSpanningTree(edges, t)), bridgeForest(edges).size.toLong,
+        listOrSampleSpanningTrees(edges, k, threshold, seedLos).size.toLong)
+    }
+    val blocks = GraphKernels.biconnectedComponents(edges)
+    val estLog = GraphKernels.spanningTreeEstimateLogFromBlocks(blocks)
+    val est = if (estLog > 62 * math.log(2)) Long.MaxValue else math.rint(math.exp(estLog)).toLong
+
+    // shared spanning-tree validity state (one gset/vertex set per graph
+    // instead of one per sampled tree)
+    val gset = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    def isSpan(tree: Seq[Edge]): Boolean = {
+      val t = tree.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      if (t.size != verts.size - 1 || !t.forall(gset)) return false
+      val parent = mutable.Map[Long, Long]()
+      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+      var merged = 0
+      for ((a, b) <- t) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { parent(ra) = rb; merged += 1 }
+      }
+      merged == verts.size - 1
+    }
+
+    // ONE listing shared by the mix and listOrSample modes. Both originals
+    // list with a bound the listing cannot hit when est < threshold <= 1e6
+    // (the estimate upper-bounds the true count), so the shared list equals
+    // each original's.
+    val listing: Option[Seq[Seq[Edge]]] =
+      if (est < threshold) listSpanningTrees(edges, 1000000) else None
+
+    def mixWith(seed: Long): (Seq[Seq[Edge]], Boolean) =
+      if (est < threshold) listing match {
+        case Some(all) =>
+          (if (all.isEmpty) Seq.empty
+           else { val rnd = new Random(seed); (0 until k).map(_ => all(rnd.nextInt(all.size))) },
+            true)
+        case None => ((0 until k).map(i => wilsonSpanningTree(edges, seed + i)), false)
+      }
+      else ((0 until k).map(i => wilsonSpanningTree(edges, seed + i)), false)
+
+    val (mixTrees, usedListing) = mixWith(seedMix)
+    val mixOk = mixTrees.forall(isSpan)
+
+    val cactusTrees = (0 until k).flatMap(i => sampleCactusFromBlocks(blocks, seedCactus + i))
+    val cac = if (cactusTrees.size == k) cactusTrees else mixWith(seedCactus)._1
+    val cacOk = cac.forall(isSpan)
+
+    val bridges = blocks.filter(_.size == 1).flatten
+    val bfComps =
+      if (bridges.isEmpty) 0L
+      else {
+        val parent = mutable.Map[Long, Long]()
+        def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+        for ((a, b) <- bridges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+        bridges.groupBy(e => find(e._1)).size.toLong
+      }
+
+    val losN: Long =
+      if (est < threshold) listing.map(_.size.toLong).getOrElse(k.toLong) else k.toLong
+
+    (usedListing, mixOk, cacOk, bfComps, losN)
   }
 
   /** tpk 'p' output: the distinct canonical strings of ALL spanning trees of

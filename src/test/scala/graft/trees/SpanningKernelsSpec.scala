@@ -185,4 +185,36 @@ class SpanningKernelsSpec extends AnyFunSuite {
     assert(GraphKernels.outerplanarBlockCanonicalString(k4, labs).isEmpty)
     assert(GraphKernels.outerplanarBlockCanonicalString(bowtie, labs).isEmpty)
   }
+
+  private def localEr(n: Int, p: Double, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    for { i <- 0 until n; j <- i + 1 until n; if rnd.nextDouble() < p }
+      yield (i.toLong, j.toLong)
+  }
+
+  test("tsModes fused kernel == composed per-mode formulation (round-6)") {
+    // graphs spanning every branch: cactus chains (listing + cactus sampler),
+    // rings, cliques (Wilson branch + cactus fallback), paths (bridges only),
+    // bowtie, disconnected, ER randoms
+    val graphs: Seq[Seq[(Long, Long)]] = Seq(
+      Generators.path(2), Generators.path(6), Generators.cycle(3),
+      Generators.cycle(9), k4, Generators.clique(5), bowtie,
+      Seq((0L, 1L), (2L, 3L)), // disconnected: no spanning tree
+      Seq.empty[(Long, Long)],
+      // cactus chain: path 0..8 + chords (0,2),(3,5),(6,8)
+      (0L to 7L).map(i => (i, i + 1)) ++ Seq((0L, 2L), (3L, 5L), (6L, 8L)),
+      localEr(10, 0.35, 7L), localEr(12, 0.25, 9L))
+    for ((es, gi) <- graphs.zipWithIndex; k <- Seq(1, 5); thr <- Seq(2L, 100L, 5000L)) {
+      val (sm, sc, sl) = (11L ^ gi, 13L ^ gi, 17L ^ gi)
+      val (mixTrees, usedListing) = TreeKernels.sampleSpanningTreesUsingMix(es, k, thr, sm)
+      val cac = TreeKernels.sampleSpanningTreesUsingCactusMix(es, k, thr, sc)
+      val expected = (usedListing,
+        mixTrees.forall(t => TreeKernels.isSpanningTree(es, t)),
+        cac.forall(t => TreeKernels.isSpanningTree(es, t)),
+        TreeKernels.bridgeForest(es).size.toLong,
+        TreeKernels.listOrSampleSpanningTrees(es, k, thr, sl).size.toLong)
+      assert(TreeKernels.tsModes(es, k, thr, sm, sc, sl) === expected,
+        s"graph $gi k=$k thr=$thr")
+    }
+  }
 }
