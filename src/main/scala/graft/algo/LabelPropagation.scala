@@ -128,14 +128,21 @@ object LabelPropagation {
       rounds: Int,
       initialLabels: Option[DataFrame] = None): DataFrame = {
     val p = GraphOps.defaultParallelism(spark)
-    val sym = GraphOps.symmetrize(edges).repartition(p, col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = GraphOps.vertices(sym).persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = initialLabels
+    // The edge cache and the eager label materialization exist for
+    // iteration REUSE; a single-round call (the oracle query) would pay the
+    // persists and their materializing count without ever re-reading them,
+    // so they are gated on rounds > 1 (round-6; the 5-round north-rule
+    // bench path is unchanged).
+    val iterate = rounds > 1
+    def cached(df: DataFrame): DataFrame =
+      if (iterate) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    val sym = cached(GraphOps.symmetrize(edges).repartition(p, col("dst")))
+    val verts = cached(GraphOps.vertices(sym))
+    var labels = cached(initialLabels
       .map(df => df.select(col(df.columns(0)).cast("long").as("vid"), col(df.columns(1)).cast("long").as("label")))
       .getOrElse(verts.select(col("vid"), col("vid").as("label")))
-      .repartition(p, col("vid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+      .repartition(p, col("vid")))
+    if (iterate) labels.count()
     var i = 0
     while (i < rounds) {
       val votes = sym

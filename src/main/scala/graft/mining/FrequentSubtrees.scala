@@ -106,32 +106,51 @@ object FrequentSubtrees {
   private def toLTree(vlabels: Seq[String], edges: Seq[(Int, Int, String)]): SubtreeIso.LTree =
     SubtreeIso.LTree(vlabels.toArray, edges.toArray)
 
+  /** Per-transaction context for a batch of embedding checks: the re-indexed
+    * LTree (and the ps forests' LTrees) are built ONCE per graph and reused
+    * across every candidate checked against it — the support-counting step
+    * hands each graph all its candidate patterns at once (round-6: the
+    * former per-(pattern, graph) `joinWith` deserialized and re-indexed the
+    * transaction once per pair). */
+  private final class GraphCtx(val g: TGraph) {
+    lazy val gt: SubtreeIso.LTree = toLTree(g.vlabels, g.edges)
+    lazy val psLts: Seq[SubtreeIso.LTree] =
+      g.psForests.map(f => SubtreeIso.LTree(g.vlabels.toArray, f.toArray))
+    lazy val comps: Seq[SubtreeIso.LTree] = graft.trees.LocalEasy.components(gt)
+  }
+
   /** One embedding-operator evaluation (the `lwg -e` dispatch shared by the
-    * BFS and DFS strategies). */
-  private def embedsWith(operator: EmbeddingOp,
-      vl: Seq[String], es: Seq[(Int, Int, String)], g: TGraph): Boolean = {
+    * BFS and DFS strategies). Seeds and per-call sampling are untouched by
+    * the GraphCtx hoisting: every randomized operator draws from a fresh
+    * `seed ^ graphId`-keyed generator per (pattern, graph) exactly as
+    * before. */
+  private def embedsCtx(operator: EmbeddingOp,
+      vl: Seq[String], es: Seq[(Int, Int, String)], ctx: GraphCtx): Boolean = {
     val h = toLTree(vl, es)
-    lazy val gt = toLTree(g.vlabels, g.edges)
+    val g = ctx.g
     operator match {
-      case ExactSubtree => SubtreeIso.embeds(h, gt)
-      case LocalEasyExact => graft.trees.LocalEasy.treeIntoGraphEmbeds(h, gt)
+      case ExactSubtree => SubtreeIso.embeds(h, ctx.gt)
+      case LocalEasyExact => graft.trees.LocalEasy.treeIntoGraphEmbeds(h, ctx.gt)
       case LocalEasySampled(k, seed) =>
-        graft.trees.LocalEasy.sampledLocalEmbeds(h, gt, k, seed ^ g.graphId)
+        graft.trees.LocalEasy.sampledLocalEmbeds(h, ctx.gt, k, seed ^ g.graphId)
       case Hops(imp, seed) =>
-        graft.trees.LocalEasy.hopsEmbeds(h, gt, imp, seed ^ g.graphId)
+        graft.trees.LocalEasy.hopsEmbeds(h, ctx.gt, imp, seed ^ g.graphId)
       case HopsVariant(mode, imp, seed) =>
-        graft.trees.LocalEasy.hopsVariantEmbeds(h, gt, imp, seed ^ g.graphId, mode)
+        graft.trees.LocalEasy.hopsVariantEmbeds(h, ctx.gt, imp, seed ^ g.graphId, mode)
       case AbsImportant(t) =>
-        graft.trees.LocalEasy.importanceCount(h, gt) >= t
+        graft.trees.LocalEasy.importanceCountAtLeast(ctx.comps, h, t)
       case RelImportant(mu) =>
-        graft.trees.LocalEasy.importanceRelative(h, gt) >= mu
+        graft.trees.LocalEasy.importanceFracAtLeast(ctx.comps, h, mu)
       case PsSampledOnce(_, _) =>
-        g.psForests.exists(f =>
-          SubtreeIso.embeds(h, SubtreeIso.LTree(g.vlabels.toArray, f.toArray)))
+        ctx.psLts.exists(f => SubtreeIso.embeds(h, f))
       case BpsSampledOnce(_, _) =>
-        graft.trees.LocalEasy.bpsEmbeds(h, gt, g.bpsLocal)
+        graft.trees.LocalEasy.bpsEmbeds(h, ctx.gt, g.bpsLocal)
     }
   }
+
+  private def embedsWith(operator: EmbeddingOp,
+      vl: Seq[String], es: Seq[(Int, Int, String)], g: TGraph): Boolean =
+    embedsCtx(operator, vl, es, new GraphCtx(g))
 
   /** All one-leaf extensions of a free-tree pattern over the frequent-edge
     * alphabet (reference `treeEnumeration.c:157` extension step — every
@@ -220,11 +239,17 @@ object FrequentSubtrees {
       threshold: Long, maxPatternSize: Int,
       operator: EmbeddingOp = ExactSubtree): DataFrame = {
     import spark.implicits._
+    // v/e feed several derivations (transaction graphs, level-1 occurrence,
+    // the frequent-edge alphabet); persisting them stops each derivation
+    // from re-running the caller's DB pipeline (window + joins) from the
+    // scan (round-6; released before returning).
     val v = verts.select(col(verts.columns(0)).cast("long").as("graph_id"),
       col(verts.columns(1)).cast("long").as("vid"), col(verts.columns(2)).cast("string").as("vlabel"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val e = edges.select(col(edges.columns(0)).cast("long").as("graph_id"),
       col(edges.columns(1)).cast("long").as("src"), col(edges.columns(2)).cast("long").as("dst"),
       col(edges.columns(3)).cast("string").as("elabel"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- transaction graphs, re-indexed once (small per graph) ----
     val graphs: Dataset[TGraph] = transactionGraphs(spark, v, e, operator)
@@ -293,16 +318,24 @@ object FrequentSubtrees {
         .persist(StorageLevel.MEMORY_AND_DISK)
 
       // 4. support: candidate x graph pairs from the parent's support set,
-      //    embedding-checked in executors, HAVING count >= t.
+      //    embedding-checked in executors, HAVING count >= t. Cogrouped by
+      //    graphId (round-6) so each transaction is deserialized and
+      //    re-indexed ONCE per level and checked against all its candidate
+      //    patterns, instead of once per (pattern, graph) join row.
       val pairs = survivors
         .joinWith(supportDS, survivors("parentKey") === supportDS("key"))
-        .map { case (pat, sp) => (pat.vlabels, pat.edges, pat.key, sp.graphId) }
-        .toDF("vlabels", "edges", "key", "graphId")
-      val matched = pairs
-        .joinWith(graphs, pairs("graphId") === graphs("graphId"))
-        .as[((Seq[String], Seq[(Int, Int, String)], String, Long), TGraph)]
-        .filter { case ((vl, es, _, _), g) => embedsWith(operator, vl, es, g) }
-        .map { case ((_, _, key, gid), _) => SupportPair(key, gid) }
+        .map { case (pat, sp) => (sp.graphId, pat.vlabels, pat.edges, pat.key) }
+      val matched = pairs.groupByKey(_._1)
+        .cogroup(graphs.groupByKey(_.graphId)) { (gid, ps, gs) =>
+          val g = if (gs.hasNext) gs.next() else null
+          if (g == null) Iterator.empty
+          else {
+            val ctx = new GraphCtx(g)
+            ps.collect { case (_, vl, es, key) if embedsCtx(operator, vl, es, ctx) =>
+              SupportPair(key, gid)
+            }
+          }
+        }
         .persist(StorageLevel.MEMORY_AND_DISK)
       // Eager checkpoint (not persist): truncates freqKeys' lineage so the
       // `results` union chain no longer reaches back through matched/
@@ -335,6 +368,8 @@ object FrequentSubtrees {
 
     graphs.unpersist(false)
     vertOcc.unpersist(false)
+    v.unpersist(false)
+    e.unpersist(false)
     // One eager materialized result frame for the caller (same contract as
     // the graph loops' outputs); every internal frame is released below.
     val out = results.orderBy("size", "cstring").localCheckpoint(true)
@@ -367,9 +402,15 @@ object FrequentSubtrees {
     * [[SubtreeIso.embeds]]; reference `lwmr_embeddingOperators.c`). Global
     * injectivity coincides with sibling injectivity on forest transactions —
     * the miner's precondition. */
-  def embedsRooted(pvl: Seq[String], pes: Seq[(Int, Int, String)], g: TGraph): Boolean = {
+  def embedsRooted(pvl: Seq[String], pes: Seq[(Int, Int, String)], g: TGraph): Boolean =
+    embedsRootedAdj(pvl, pes, g, g.edges.groupBy(_._1))
+
+  /** [[embedsRooted]] with the graph adjacency prebuilt — the support step
+    * hands one graph all its candidates, so the adjacency grouping is
+    * hoisted out of the per-pattern call (round-6). */
+  private def embedsRootedAdj(pvl: Seq[String], pes: Seq[(Int, Int, String)], g: TGraph,
+      gadj: Map[Int, Seq[(Int, Int, String)]]): Boolean = {
     val pchild = pes.groupBy(_._1)
-    val gadj = g.edges.groupBy(_._1)
     val memo = scala.collection.mutable.Map[(Int, Int), Boolean]()
     def fits(pv: Int, gv: Int): Boolean = memo.getOrElseUpdate((pv, gv), {
       g.vlabels(gv) == pvl(pv) && {
@@ -408,9 +449,11 @@ object FrequentSubtrees {
 
     val v = verts.select(col(verts.columns(0)).cast("long").as("graph_id"),
       col(verts.columns(1)).cast("long").as("vid"), col(verts.columns(2)).cast("string").as("vlabel"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val e = edges.select(col(edges.columns(0)).cast("long").as("graph_id"),
       col(edges.columns(1)).cast("long").as("src"), col(edges.columns(2)).cast("long").as("dst"),
       col(edges.columns(3)).cast("string").as("elabel"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val graphs: Dataset[TGraph] = v.groupBy("graph_id")
       .agg(collect_list(struct(col("vid"), col("vlabel"))).as("vs"))
@@ -515,15 +558,22 @@ object FrequentSubtrees {
       val survivors = candidates.join(pruned, Seq("key"), "left_anti").as[Pattern]
         .persist(StorageLevel.MEMORY_AND_DISK)
 
+      // cogrouped by graphId — one deserialization + adjacency build per
+      // transaction per level (same restructure as [[mine]], round-6)
       val pairs = survivors
         .joinWith(supportDS, survivors("parentKey") === supportDS("key"))
-        .map { case (pat, sp) => (pat.vlabels, pat.edges, pat.key, sp.graphId) }
-        .toDF("vlabels", "edges", "key", "graphId")
-      val matched = pairs
-        .joinWith(graphs, pairs("graphId") === graphs("graphId"))
-        .as[((Seq[String], Seq[(Int, Int, String)], String, Long), TGraph)]
-        .filter { case ((vl, es, _, _), g) => embedsRooted(vl, es, g) }
-        .map { case ((_, _, key, gid), _) => SupportPair(key, gid) }
+        .map { case (pat, sp) => (sp.graphId, pat.vlabels, pat.edges, pat.key) }
+      val matched = pairs.groupByKey(_._1)
+        .cogroup(graphs.groupByKey(_.graphId)) { (gid, ps, gs) =>
+          val g = if (gs.hasNext) gs.next() else null
+          if (g == null) Iterator.empty
+          else {
+            val gadj = g.edges.groupBy(_._1)
+            ps.collect { case (_, vl, es, key) if embedsRootedAdj(vl, es, g, gadj) =>
+              SupportPair(key, gid)
+            }
+          }
+        }
         .persist(StorageLevel.MEMORY_AND_DISK)
       // Eager checkpoint so `results` stops referencing the superseded
       // level frames (see the identical discipline in [[mine]]).
@@ -550,6 +600,8 @@ object FrequentSubtrees {
 
     graphs.unpersist(false)
     vertOcc.unpersist(false)
+    v.unpersist(false)
+    e.unpersist(false)
     val out = results.orderBy("size", "cstring").localCheckpoint(true)
     freq1.unpersist(false)
     GraphOps.releaseCheckpoint(patternsDS)
@@ -644,9 +696,11 @@ object FrequentSubtrees {
     import spark.implicits._
     val v = verts.select(col(verts.columns(0)).cast("long").as("graph_id"),
       col(verts.columns(1)).cast("long").as("vid"), col(verts.columns(2)).cast("string").as("vlabel"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val e = edges.select(col(edges.columns(0)).cast("long").as("graph_id"),
       col(edges.columns(1)).cast("long").as("src"), col(edges.columns(2)).cast("long").as("dst"),
       col(edges.columns(3)).cast("string").as("elabel"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val graphs = transactionGraphs(spark, v, e, operator)
     graphs.count() // materialize once; every expansion filters this cache
 
@@ -702,8 +756,9 @@ object FrequentSubtrees {
             case None => graphs
           }
           val pairs = restricted.flatMap { g =>
+            val ctx = new GraphCtx(g) // re-index the transaction once per expansion
             bc.value.iterator.collect {
-              case (vl, es, key) if embedsWith(operator, vl, es, g) => (key, g.graphId)
+              case (vl, es, key) if embedsCtx(operator, vl, es, ctx) => (key, g.graphId)
             }
           }.collect()
           // both broadcasts are fully consumed by the collect above; a deep
@@ -727,6 +782,8 @@ object FrequentSubtrees {
     }
     graphs.unpersist(false)
     vertOcc.unpersist(false)
+    v.unpersist(false)
+    e.unpersist(false)
     results.toSeq.toDF("size", "cstring", "support").orderBy("size", "cstring")
   }
 }

@@ -654,11 +654,15 @@ object MiningQueries {
     val orders = t(s, dir, "orders")
       .select(col("o_custkey").cast("long").as("graph_id"),
         col("o_orderkey").cast("long").as("ok"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_returnflag", "l_linestatus")
+    // Leaf ranks 1..min(7, n) per order from ONE count aggregate (round-6;
+    // replaces a row_number window whose partitioned sort of the 600k-row
+    // lineitem table was most of this DB's CPU). Labels are uniform, so
+    // only the per-order leaf COUNT matters — identical to the capped
+    // window for any tie order.
     val li = t(s, dir, "lineitem")
-      .withColumn("rn", row_number().over(w)).where(col("rn") <= 7)
-      .select(col("l_orderkey").cast("long").as("ok"), col("rn").cast("long").as("rn"))
+      .select(col("l_orderkey").cast("long").as("ok"))
+      .groupBy("ok").agg(least(count(lit(1)), lit(7L)).as("cnt"))
+      .select(col("ok"), explode(expr("sequence(1L, cnt)")).as("rn"))
       .join(orders, "ok")
     val centers = orders.select(col("graph_id"), (col("ok") * 8).as("vid"), lit("o").as("vlabel"))
     val leaves = li.select(col("graph_id"), (col("ok") * 8 + col("rn")).as("vid"), lit("o").as("vlabel"))
@@ -683,19 +687,26 @@ object MiningQueries {
   private def starDB(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
     val orders = t(s, dir, "orders").where(col("o_orderkey") % 8 === 0)
     // The driver's synthetic lineitem has DUPLICATE (l_orderkey,
-    // l_linenumber) pairs, so leaf vids come from a per-order row_number —
+    // l_linenumber) pairs, so leaf vids come from a per-order rank —
     // mining output depends only on the leaf LABEL multiset, so any distinct
-    // deterministic numbering yields identical patterns/supports.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_returnflag", "l_linestatus")
+    // deterministic numbering yields identical patterns/supports. Round-6:
+    // the rank comes from ONE groupBy + sorted-array posexplode instead of
+    // a row_number window (hash aggregation instead of a partitioned sort
+    // of the joined lineitem rows; same (l_linenumber, l_returnflag,
+    // l_linestatus) ordering).
     val li = t(s, dir, "lineitem").join(
         orders.select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
-      .withColumn("leaf", row_number().over(w).cast("long"))
+      .select(col("l_orderkey").cast("long").as("graph_id"),
+        struct(col("l_linenumber"), col("l_returnflag"), col("l_linestatus")).as("rec"))
+      .groupBy("graph_id").agg(sort_array(collect_list(col("rec"))).as("recs"))
+      .select(col("graph_id"), posexplode(col("recs")).as(Seq("pos", "rec")))
+      .select(col("graph_id"), (col("pos") + 1).cast("long").as("leaf"),
+        col("rec.l_returnflag").as("l_returnflag"), col("rec.l_linestatus").as("l_linestatus"))
     val verts = orders.select(col("o_orderkey").cast("long").as("graph_id"),
         lit(0L).as("vid"), col("o_orderstatus").cast("string").as("vlabel"))
-      .union(li.select(col("l_orderkey").cast("long"),
+      .union(li.select(col("graph_id"),
         col("leaf"), col("l_returnflag").cast("string")))
-    val edges = li.select(col("l_orderkey").cast("long").as("graph_id"),
+    val edges = li.select(col("graph_id"),
       lit(0L).as("src"), col("leaf").as("dst"),
       col("l_linestatus").cast("string").as("elabel"))
     (verts, edges, orders.count())

@@ -56,15 +56,17 @@ object StreamReplay {
     // Replay-harness knobs, NOT operator semantics: the state-partition
     // count is bound at stream start, and every micro-batch writes one
     // state delta per partition — at replay scale (one memory-fed stream,
-    // ~10 triggers) 32 partitions is pure per-trigger overhead, and the
-    // default /tmp checkpoint dir pays disk fsyncs per delta. Production
-    // streams size partitions to the key cardinality and keep durable
-    // checkpoints; the replay restores the session conf on exit.
+    // ~10 triggers) anything beyond ONE partition is pure per-trigger
+    // overhead (measured round-6: state/commit task time 7.1 -> 1.8 s at
+    // 4 -> 1), and the default /tmp checkpoint dir pays disk fsyncs per
+    // delta. Production streams size partitions to the key cardinality and
+    // keep durable checkpoints; the replay restores the session conf on
+    // exit.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val ckptBase = (sys.env.get("SPARK_LOCAL_DIRS").toSeq ++ Seq("/dev/shm", "/tmp"))
       .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.isDirectory(_)).get
     val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, s"graft-ckpt-$table-")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     try {
       val q = transform(input.toDS())
         .writeStream.format("memory").queryName(table)

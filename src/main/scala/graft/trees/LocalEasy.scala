@@ -371,6 +371,47 @@ object LocalEasy {
     if (cs.isEmpty) 0.0 else cs.count(c => SubtreeIso.embeds(h, c)).toDouble / cs.size
   }
 
+  /** `importanceCount(h, g) >= t` over a PREcomputed component list, with
+    * early exit once the outcome is decided (round-6): the miner evaluates
+    * the importance operators for every (candidate, transaction) pair with
+    * threshold 1-2, so running the subtree-iso kernel over all ~15
+    * components when the second one already decides the answer was most of
+    * `f_lwg_mine_absimp`'s CPU. Decision-equivalent to the full count. */
+  def importanceCountAtLeast(comps: Seq[LTree], h: LTree, t: Int): Boolean = {
+    if (t <= 0) return true
+    var hits = 0
+    var remaining = comps.size
+    val it = comps.iterator
+    while (it.hasNext) {
+      if (hits + remaining < t) return false // even all-hit tail can't reach t
+      if (SubtreeIso.embeds(h, it.next())) {
+        hits += 1
+        if (hits >= t) return true
+      }
+      remaining -= 1
+    }
+    hits >= t
+  }
+
+  /** `importanceRelative(h, g) >= mu` over a precomputed component list,
+    * early-exited with the SAME floating-point comparison as the full
+    * formulation (`hits.toDouble / size >= mu`, monotone in hits), so the
+    * decision is bit-identical. */
+  def importanceFracAtLeast(comps: Seq[LTree], h: LTree, mu: Double): Boolean = {
+    val size = comps.size
+    if (size == 0) return 0.0 >= mu
+    var hits = 0
+    var seen = 0
+    val it = comps.iterator
+    while (it.hasNext) {
+      if (hits.toDouble / size >= mu) return true // later hits only raise it
+      if ((hits + (size - seen)).toDouble / size < mu) return false
+      if (SubtreeIso.embeds(h, it.next())) hits += 1
+      seen += 1
+    }
+    hits.toDouble / size >= mu
+  }
+
   /** Cactus-tree subtree isomorphism — the `tci` executable (reference
     * `cactustree.c:11` cactusTreeSubIso, executable `executables/cactus.c`):
     * does the tree pattern embed in the cactus graph as a subgraph? The
