@@ -70,7 +70,7 @@ object Dedup {
     * hashing that precedes the first exchange would run on one core).
     * Conditional, so at production scale — where the corpus scan already
     * has thousands of splits — no extra shuffle of the raw text is paid. */
-  private def fanOut(docs: DataFrame, keyCol: String): DataFrame = {
+  private[graft] def fanOut(docs: DataFrame, keyCol: String): DataFrame = {
     val p = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     if (docs.rdd.getNumPartitions * 2 <= p) docs.repartition(p, col(keyCol)) else docs
   }

@@ -128,7 +128,14 @@ object Similarity {
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String, threshold: Double,
       nBits: Int = 16, nBands: Int = 8, seed: Long = 2027L, dim: Int = -1,
       maxBucketSize: Long = 100000L): DataFrame = {
-    val bandRows0 = hyperplaneBandRows(vectors, idCol, vecCol, nBits, nBands, seed, dim)
+    // Banding feeds three plan branches (bucket sizes + both sides of the
+    // self-join); persist the metadata-only (id, band, bkey) frame so the
+    // per-vector hyperplane projections run once, spread across the session
+    // parallelism when the source scan has fewer splits than cores (same
+    // round-6 discipline as Dedup.lshCandidates).
+    val bandRows0 = hyperplaneBandRows(graft.dedup.Dedup.fanOut(vectors, idCol),
+        idCol, vecCol, nBits, nBands, seed, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket-size cap: a degenerate band key shared by f vectors would make
     // one bucket an f² self-join; drop buckets past the cap BEFORE joining
     // (same discipline as Dedup.lshCandidates — the explicit bound the
