@@ -111,8 +111,11 @@ object FrequentSubtrees {
     * across every candidate checked against it — the support-counting step
     * hands each graph all its candidate patterns at once (round-6: the
     * former per-(pattern, graph) `joinWith` deserialized and re-indexed the
-    * transaction once per pair). */
-  private final class GraphCtx(val g: TGraph) {
+    * transaction once per pair). Round-6.2: the DFS miner caches an RDD of
+    * (graphId, GraphCtx) objects ([[keyedGraphCtx]]) so the lazy indexes
+    * additionally survive across its many expansions; Serializable so a
+    * MEMORY_AND_DISK spill can write it. */
+  private final class GraphCtx(val g: TGraph) extends Serializable {
     lazy val gt: SubtreeIso.LTree = toLTree(g.vlabels, g.edges)
     lazy val psLts: Seq[SubtreeIso.LTree] =
       g.psForests.map(f => SubtreeIso.LTree(g.vlabels.toArray, f.toArray))
@@ -174,7 +177,8 @@ object FrequentSubtrees {
 
   /** Transaction graphs re-indexed to dense vertex ids, with the
     * forest-precondition checks and (for the sample-once operators) the
-    * once-per-transaction sampled structures. Persisted; caller unpersists. */
+    * once-per-transaction sampled structures. NOT persisted — callers key it
+    * by graphId into the partitioned GraphCtx cache ([[keyedGraphCtx]]). */
   private def transactionGraphs(spark: SparkSession, v: DataFrame, e: DataFrame,
       operator: EmbeddingOp): Dataset[TGraph] = {
     import spark.implicits._
@@ -229,8 +233,21 @@ object FrequentSubtrees {
           case _ => g
         }
       }
-      .persist(StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** (graphId, [[GraphCtx]]) object-cached for the DFS miner, which scans
+    * the transactions once per EXPANSION — dozens of passes per run, so the
+    * per-graph lazy indexes surviving in the object cache pay for the
+    * one-time java-serialized partitionBy (measured: DFS task-CPU 11.0 ->
+    * 6.9 s). The BFS miners deliberately do NOT use this — with only 2-3
+    * level passes the object shuffle costs more than the per-level tungsten
+    * re-shuffle it saves (measured: absimp 6.3 -> 12.4 s wall when tried;
+    * reverted). */
+  private def keyedGraphCtx(graphs: Dataset[TGraph], p: Int)
+      : org.apache.spark.rdd.RDD[(Long, GraphCtx)] =
+    graphs.rdd.map(g => (g.graphId, new GraphCtx(g)))
+      .partitionBy(new org.apache.spark.HashPartitioner(p))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Mine frequent subtrees of sizes 1..maxPatternSize with support >=
     * threshold. verts: (graph_id, vid, vlabel); edges: (graph_id, src, dst,
@@ -252,7 +269,16 @@ object FrequentSubtrees {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- transaction graphs, re-indexed once (small per graph) ----
+    // Kept as a TUNGSTEN-cached Dataset deliberately: a round-6.2 experiment
+    // cached (graphId, GraphCtx) objects behind a partitionBy so the level
+    // loop's cogroup would stop re-shuffling the transactions — measured
+    // SLOWER (absimp 6.3 -> 12.4 s, task-CPU 80 -> 307 s): the one-time
+    // partitionBy java-serializes the Seq-heavy graph objects, which costs
+    // more than the per-level re-shuffle of compact tungsten rows it saves
+    // at 2-3 levels. Reverted; the DFS miner (many passes per run) keeps
+    // the object cache — see [[keyedGraphCtx]]/[[mineDfs]].
     val graphs: Dataset[TGraph] = transactionGraphs(spark, v, e, operator)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- level 1: frequent vertex labels (getFrequentVertices) ----
     // Round-3 change: the per-level pattern dictionary STAYS DISTRIBUTED —
@@ -261,7 +287,13 @@ object FrequentSubtrees {
     // bottleneck at web scale. Only the frequent-EDGE extension alphabet is
     // collected + broadcast (tiny by construction: |vertex labels|² × |edge
     // labels| upper bound, and the reference holds exactly this in memory).
-    val vertOcc = v.select("graph_id", "vlabel").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // Round-6.2: vertOcc and the edge alphabet both read the cached
+    // `graphs` (labels ride in TGraph) instead of re-joining v/e — the
+    // per-graph distinct runs inside the flatMap, so only already-deduped
+    // (graph, label) / (graph, triple) pairs reach a shuffle, and the two
+    // label joins of the former alphabet derivation disappear outright.
+    val vertOcc = graphs.flatMap(g => g.vlabels.distinct.map(l => (g.graphId, l)))
+      .toDF("graph_id", "vlabel").persist(StorageLevel.MEMORY_AND_DISK)
     val freq1 = vertOcc.groupBy("vlabel").agg(count(lit(1)).as("support"))
       .where(col("support") >= threshold)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -278,17 +310,25 @@ object FrequentSubtrees {
       .as[SupportPair].persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- frequent edge triples = the extension alphabet (getFrequentEdges) ----
-    val freqEdges: Seq[(String, String, String)] = e
-      .join(v.select(col("graph_id"), col("vid").as("src"), col("vlabel").as("sl")), Seq("graph_id", "src"))
-      .join(v.select(col("graph_id"), col("vid").as("dst"), col("vlabel").as("dl")), Seq("graph_id", "dst"))
-      .select(col("graph_id"), least(col("sl"), col("dl")).as("la"), col("elabel"),
-        greatest(col("sl"), col("dl")).as("lb"))
-      .distinct()
+    // Triple orientation (la <= lb) matters only for dedupe — extensionsOf
+    // treats the triple symmetrically — so the JVM string order here is as
+    // good as the former least/greatest SQL pair.
+    val freqEdges: Seq[(String, String, String)] = graphs
+      .flatMap { g =>
+        g.edges.iterator.map { case (a, b, l) =>
+          val (la, lb) = (g.vlabels(a), g.vlabels(b))
+          if (la <= lb) (la, l, lb) else (lb, l, la)
+        }.toSet.iterator
+      }
+      .toDF("la", "elabel", "lb")
       .groupBy("la", "elabel", "lb").agg(count(lit(1)).as("support"))
       .where(col("support") >= threshold)
       .select("la", "elabel", "lb").as[(String, String, String)].collect().toSeq
     val bcEdges = spark.sparkContext.broadcast(freqEdges)
     val levelCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // The two initial frames are plain persists; from level 2 on each level
+    // replaces them with ONE combined checkpoint (released a level later).
+    var prevLevelFrames: Seq[Dataset[_]] = Seq(patternsDS, supportDS)
 
     var level = 2
     while (level <= maxPatternSize && nPatterns > 0) {
@@ -311,9 +351,11 @@ object FrequentSubtrees {
           (c.key, SubtreeIso.canonicalString(toLTree(vl, es)))
         }
       }.toDF("key", "subKey")
+      // (left-anti right side needs no dedupe — the former .distinct() here
+      // was one aggregate+exchange per level for nothing, round-6.2)
       val pruned = subKeys
         .join(prevKeys, Seq("subKey"), "left_anti")
-        .select("key").distinct()
+        .select("key")
       val survivors = candidates.join(pruned, Seq("key"), "left_anti").as[Pattern]
         .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -347,19 +389,30 @@ object FrequentSubtrees {
 
       results = results.union(
         freqKeys.select(lit(level).as("size"), col("key").as("cstring"), col("support")))
-      val oldSupport = supportDS
-      val oldPatterns = patternsDS
-      // localCheckpoint truncates the per-level lineage growth (the same
-      // discipline as the PageRank/CC iteration loops)
-      patternsDS = survivors.join(freqKeys.select("key"), Seq("key"), "left_semi")
-        .as[Pattern].localCheckpoint(true)
-      nPatterns = patternsDS.count()
-      supportDS = matched.join(freqKeys.select("key"), Seq("key"), "left_semi")
-        .as[SupportPair].localCheckpoint(true)
+      // Round-6.2: the next level's pattern dictionary and support relation
+      // are materialized by ONE eager checkpoint (a tagged union) instead of
+      // two separate localCheckpoint actions; patternsDS/supportDS become
+      // filters over the combined frame. The per-level lineage truncation is
+      // unchanged (the union IS the checkpoint — same discipline as the
+      // PageRank/CC iteration loops), and nPatterns comes from the already-
+      // materialized freqKeys (freqKeys ⊆ survivor keys, both key-unique,
+      // so |freqKeys| == |next patterns|).
+      val nextPatterns = survivors.join(freqKeys.select("key"), Seq("key"), "left_semi")
+        .select(col("vlabels"), col("edges"), col("key"), col("parentKey"),
+          lit(0L).as("graphId"), lit(true).as("isPat"))
+      val nextSupport = matched.join(freqKeys.select("key"), Seq("key"), "left_semi")
+        .select(lit(null).cast("array<string>").as("vlabels"),
+          lit(null).cast("array<struct<_1:int,_2:int,_3:string>>").as("edges"),
+          col("key"), lit("").as("parentKey"), col("graphId"), lit(false).as("isPat"))
+      val state = nextPatterns.unionByName(nextSupport).localCheckpoint(true)
+      patternsDS = state.where(col("isPat"))
+        .select("vlabels", "edges", "key", "parentKey").as[Pattern]
+      supportDS = state.where(!col("isPat")).select("key", "graphId").as[SupportPair]
+      nPatterns = freqKeys.count()
       // superseded level frames: free the CHECKPOINT blocks, not just the
       // cache entry (plain unpersist cannot reach them — GraphOps helper)
-      GraphOps.releaseCheckpoint(oldSupport)
-      GraphOps.releaseCheckpoint(oldPatterns)
+      prevLevelFrames.foreach(GraphOps.releaseCheckpoint)
+      prevLevelFrames = Seq(state)
       matched.unpersist(false)
       survivors.unpersist(false)
       levelCaches += freqKeys // feeds `results`; released after materialization
@@ -374,8 +427,7 @@ object FrequentSubtrees {
     // the graph loops' outputs); every internal frame is released below.
     val out = results.orderBy("size", "cstring").localCheckpoint(true)
     freq1.unpersist(false)
-    GraphOps.releaseCheckpoint(patternsDS)
-    GraphOps.releaseCheckpoint(supportDS)
+    prevLevelFrames.foreach(GraphOps.releaseCheckpoint)
     levelCaches.foreach(GraphOps.releaseCheckpoint)
     out
   }
@@ -492,8 +544,10 @@ object FrequentSubtrees {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Distributed per-level pattern dictionary — same round-3 discipline as
-    // [[mine]] (only the directed extension alphabet is collected).
-    val vertOcc = v.select("graph_id", "vlabel").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // [[mine]] (only the directed extension alphabet is collected); vertOcc
+    // and the alphabet read the cached `graphs` (round-6.2, as in [[mine]]).
+    val vertOcc = graphs.flatMap(g => g.vlabels.distinct.map(l => (g.graphId, l)))
+      .toDF("graph_id", "vlabel").persist(StorageLevel.MEMORY_AND_DISK)
     val freq1 = vertOcc.groupBy("vlabel").agg(count(lit(1)).as("support"))
       .where(col("support") >= threshold)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -510,16 +564,17 @@ object FrequentSubtrees {
       .as[SupportPair].persist(StorageLevel.MEMORY_AND_DISK)
 
     // directed extension alphabet: (parentLabel, edgeLabel, childLabel)
-    val freqEdges: Seq[(String, String, String)] = e
-      .join(v.select(col("graph_id"), col("vid").as("src"), col("vlabel").as("sl")), Seq("graph_id", "src"))
-      .join(v.select(col("graph_id"), col("vid").as("dst"), col("vlabel").as("dl")), Seq("graph_id", "dst"))
-      .select(col("graph_id"), col("sl"), col("elabel"), col("dl"))
-      .distinct()
+    val freqEdges: Seq[(String, String, String)] = graphs
+      .flatMap(g => g.edges.iterator.map { case (a, b, l) =>
+        (g.vlabels(a), l, g.vlabels(b))
+      }.toSet.iterator)
+      .toDF("sl", "elabel", "dl")
       .groupBy("sl", "elabel", "dl").agg(count(lit(1)).as("support"))
       .where(col("support") >= threshold)
       .select("sl", "elabel", "dl").as[(String, String, String)].collect().toSeq
     val bcEdges = spark.sparkContext.broadcast(freqEdges)
     val levelCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var prevLevelFrames: Seq[Dataset[_]] = Seq(patternsDS, supportDS)
 
     var level = 2
     while (level <= maxPatternSize && nPatterns > 0) {
@@ -552,9 +607,10 @@ object FrequentSubtrees {
           (c.key, rootedCanonicalString(vl, es))
         }
       }.toDF("key", "subKey")
+      // (left-anti right side needs no dedupe, round-6.2 — as in [[mine]])
       val pruned = subKeys
         .join(prevKeys, Seq("subKey"), "left_anti")
-        .select("key").distinct()
+        .select("key")
       val survivors = candidates.join(pruned, Seq("key"), "left_anti").as[Pattern]
         .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -583,15 +639,22 @@ object FrequentSubtrees {
 
       results = results.union(
         freqKeys.select(lit(level).as("size"), col("key").as("cstring"), col("support")))
-      val oldSupport = supportDS
-      val oldPatterns = patternsDS
-      patternsDS = survivors.join(freqKeys.select("key"), Seq("key"), "left_semi")
-        .as[Pattern].localCheckpoint(true)
-      nPatterns = patternsDS.count()
-      supportDS = matched.join(freqKeys.select("key"), Seq("key"), "left_semi")
-        .as[SupportPair].localCheckpoint(true)
-      GraphOps.releaseCheckpoint(oldSupport)
-      GraphOps.releaseCheckpoint(oldPatterns)
+      // ONE combined eager checkpoint for the next level's state (round-6.2,
+      // see [[mine]] for the rationale and the |freqKeys| == |patterns| note)
+      val nextPatterns = survivors.join(freqKeys.select("key"), Seq("key"), "left_semi")
+        .select(col("vlabels"), col("edges"), col("key"), col("parentKey"),
+          lit(0L).as("graphId"), lit(true).as("isPat"))
+      val nextSupport = matched.join(freqKeys.select("key"), Seq("key"), "left_semi")
+        .select(lit(null).cast("array<string>").as("vlabels"),
+          lit(null).cast("array<struct<_1:int,_2:int,_3:string>>").as("edges"),
+          col("key"), lit("").as("parentKey"), col("graphId"), lit(false).as("isPat"))
+      val state = nextPatterns.unionByName(nextSupport).localCheckpoint(true)
+      patternsDS = state.where(col("isPat"))
+        .select("vlabels", "edges", "key", "parentKey").as[Pattern]
+      supportDS = state.where(!col("isPat")).select("key", "graphId").as[SupportPair]
+      nPatterns = freqKeys.count()
+      prevLevelFrames.foreach(GraphOps.releaseCheckpoint)
+      prevLevelFrames = Seq(state)
       matched.unpersist(false)
       survivors.unpersist(false)
       levelCaches += freqKeys
@@ -604,8 +667,7 @@ object FrequentSubtrees {
     e.unpersist(false)
     val out = results.orderBy("size", "cstring").localCheckpoint(true)
     freq1.unpersist(false)
-    GraphOps.releaseCheckpoint(patternsDS)
-    GraphOps.releaseCheckpoint(supportDS)
+    prevLevelFrames.foreach(GraphOps.releaseCheckpoint)
     levelCaches.foreach(GraphOps.releaseCheckpoint)
     out
   }
@@ -701,19 +763,25 @@ object FrequentSubtrees {
       col(edges.columns(1)).cast("long").as("src"), col(edges.columns(2)).cast("long").as("dst"),
       col(edges.columns(3)).cast("string").as("elabel"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val graphs = transactionGraphs(spark, v, e, operator)
-    graphs.count() // materialize once; every expansion filters this cache
+    val graphsK = keyedGraphCtx(transactionGraphs(spark, v, e, operator),
+      GraphOps.defaultParallelism(spark))
+    graphsK.count() // materialize once; every expansion filters this cache
 
-    val vertOcc = v.select("graph_id", "vlabel").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // vertOcc + alphabet from the partitioned graph cache (round-6.2, as in [[mine]])
+    val vertOcc = graphsK.flatMap { case (gid, ctx) => ctx.g.vlabels.distinct.map(l => (gid, l)) }
+      .toDF("graph_id", "vlabel").persist(StorageLevel.MEMORY_AND_DISK)
     val freq1 = vertOcc.groupBy("vlabel").agg(count(lit(1)).as("support"))
       .where(col("support") >= threshold)
       .as[(String, Long)].collect().sortBy(_._1)
-    val freqEdges: Seq[(String, String, String)] = e
-      .join(v.select(col("graph_id"), col("vid").as("src"), col("vlabel").as("sl")), Seq("graph_id", "src"))
-      .join(v.select(col("graph_id"), col("vid").as("dst"), col("vlabel").as("dl")), Seq("graph_id", "dst"))
-      .select(col("graph_id"), least(col("sl"), col("dl")).as("la"), col("elabel"),
-        greatest(col("sl"), col("dl")).as("lb"))
-      .distinct()
+    val freqEdges: Seq[(String, String, String)] = graphsK
+      .flatMap { case (_, ctx) =>
+        val g = ctx.g
+        g.edges.iterator.map { case (a, b, l) =>
+          val (la, lb) = (g.vlabels(a), g.vlabels(b))
+          if (la <= lb) (la, l, lb) else (lb, l, la)
+        }.toSet.iterator
+      }
+      .toDF("la", "elabel", "lb")
       .groupBy("la", "elabel", "lb").agg(count(lit(1)).as("support"))
       .where(col("support") >= threshold)
       .select("la", "elabel", "lb").as[(String, String, String)].collect().toSeq
@@ -752,13 +820,14 @@ object FrequentSubtrees {
               val bset = spark.sparkContext.broadcast(gids.toSet)
               dfsBroadcastsCreated.incrementAndGet()
               bsetOpt = Some(bset)
-              graphs.filter(g => bset.value.contains(g.graphId))
-            case None => graphs
+              graphsK.filter { case (gid, _) => bset.value.contains(gid) }
+            case None => graphsK
           }
-          val pairs = restricted.flatMap { g =>
-            val ctx = new GraphCtx(g) // re-index the transaction once per expansion
+          // the cached GraphCtx carries the transaction's lazy indexes
+          // ACROSS expansions (round-6.2; formerly re-built per expansion)
+          val pairs = restricted.flatMap { case (gid, ctx) =>
             bc.value.iterator.collect {
-              case (vl, es, key) if embedsCtx(operator, vl, es, ctx) => (key, g.graphId)
+              case (vl, es, key) if embedsCtx(operator, vl, es, ctx) => (key, gid)
             }
           }.collect()
           // both broadcasts are fully consumed by the collect above; a deep
@@ -780,7 +849,7 @@ object FrequentSubtrees {
         }
       }
     }
-    graphs.unpersist(false)
+    graphsK.unpersist(false)
     vertOcc.unpersist(false)
     v.unpersist(false)
     e.unpersist(false)
