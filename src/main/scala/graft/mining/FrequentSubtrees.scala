@@ -256,17 +256,16 @@ object FrequentSubtrees {
       threshold: Long, maxPatternSize: Int,
       operator: EmbeddingOp = ExactSubtree): DataFrame = {
     import spark.implicits._
-    // v/e feed several derivations (transaction graphs, level-1 occurrence,
-    // the frequent-edge alphabet); persisting them stops each derivation
-    // from re-running the caller's DB pipeline (window + joins) from the
-    // scan (round-6; released before returning).
+    // v/e each feed exactly ONE consumer since round-6.2 (transactionGraphs;
+    // the level-1 occurrence and the alphabet read the graph cache), so they
+    // are no longer persisted: the single combined plan lets the planner
+    // reuse the caller's shared DB-pipeline exchange across the two groupBy
+    // branches, where two separate cache builds re-ran it once each.
     val v = verts.select(col(verts.columns(0)).cast("long").as("graph_id"),
       col(verts.columns(1)).cast("long").as("vid"), col(verts.columns(2)).cast("string").as("vlabel"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val e = edges.select(col(edges.columns(0)).cast("long").as("graph_id"),
       col(edges.columns(1)).cast("long").as("src"), col(edges.columns(2)).cast("long").as("dst"),
       col(edges.columns(3)).cast("string").as("elabel"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- transaction graphs, re-indexed once (small per graph) ----
     // Kept as a TUNGSTEN-cached Dataset deliberately: a round-6.2 experiment
@@ -421,8 +420,6 @@ object FrequentSubtrees {
 
     graphs.unpersist(false)
     vertOcc.unpersist(false)
-    v.unpersist(false)
-    e.unpersist(false)
     // One eager materialized result frame for the caller (same contract as
     // the graph loops' outputs); every internal frame is released below.
     val out = results.orderBy("size", "cstring").localCheckpoint(true)
@@ -499,13 +496,12 @@ object FrequentSubtrees {
       threshold: Long, maxPatternSize: Int): DataFrame = {
     import spark.implicits._
 
+    // v/e single-consumer since round-6.2 — not persisted (see [[mine]])
     val v = verts.select(col(verts.columns(0)).cast("long").as("graph_id"),
       col(verts.columns(1)).cast("long").as("vid"), col(verts.columns(2)).cast("string").as("vlabel"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val e = edges.select(col(edges.columns(0)).cast("long").as("graph_id"),
       col(edges.columns(1)).cast("long").as("src"), col(edges.columns(2)).cast("long").as("dst"),
       col(edges.columns(3)).cast("string").as("elabel"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val graphs: Dataset[TGraph] = v.groupBy("graph_id")
       .agg(collect_list(struct(col("vid"), col("vlabel"))).as("vs"))
@@ -663,8 +659,6 @@ object FrequentSubtrees {
 
     graphs.unpersist(false)
     vertOcc.unpersist(false)
-    v.unpersist(false)
-    e.unpersist(false)
     val out = results.orderBy("size", "cstring").localCheckpoint(true)
     freq1.unpersist(false)
     prevLevelFrames.foreach(GraphOps.releaseCheckpoint)
@@ -756,13 +750,12 @@ object FrequentSubtrees {
       operator: EmbeddingOp = ExactSubtree,
       supportSetCap: Int = 5000000): DataFrame = {
     import spark.implicits._
+    // v/e single-consumer since round-6.2 — not persisted (see [[mine]])
     val v = verts.select(col(verts.columns(0)).cast("long").as("graph_id"),
       col(verts.columns(1)).cast("long").as("vid"), col(verts.columns(2)).cast("string").as("vlabel"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val e = edges.select(col(edges.columns(0)).cast("long").as("graph_id"),
       col(edges.columns(1)).cast("long").as("src"), col(edges.columns(2)).cast("long").as("dst"),
       col(edges.columns(3)).cast("string").as("elabel"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val graphsK = keyedGraphCtx(transactionGraphs(spark, v, e, operator),
       GraphOps.defaultParallelism(spark))
     graphsK.count() // materialize once; every expansion filters this cache
@@ -851,8 +844,6 @@ object FrequentSubtrees {
     }
     graphsK.unpersist(false)
     vertOcc.unpersist(false)
-    v.unpersist(false)
-    e.unpersist(false)
     results.toSeq.toDF("size", "cstring", "support").orderBy("size", "cstring")
   }
 }
