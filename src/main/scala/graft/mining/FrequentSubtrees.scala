@@ -249,12 +249,30 @@ object FrequentSubtrees {
       .partitionBy(new org.apache.spark.HashPartitioner(p))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+  /** [[mine]]'s transaction-graph Dataset, exposed so a caller running
+    * SEVERAL mines over the SAME DB (e.g. the operator-variant comparison
+    * query) can derive + persist it once and pass it via `sharedGraphs`
+    * instead of re-running the DB pipeline per mine (round-6.2). The caller
+    * owns the persist/unpersist. Only valid across operators that share the
+    * same per-transaction structures (no sample-once psForests/bpsLocal
+    * differences) — asserted by the callers' oracle gate. */
+  def prepareGraphs(spark: SparkSession, verts: DataFrame, edges: DataFrame,
+      operator: EmbeddingOp): Dataset[TGraph] = {
+    val v = verts.select(col(verts.columns(0)).cast("long").as("graph_id"),
+      col(verts.columns(1)).cast("long").as("vid"), col(verts.columns(2)).cast("string").as("vlabel"))
+    val e = edges.select(col(edges.columns(0)).cast("long").as("graph_id"),
+      col(edges.columns(1)).cast("long").as("src"), col(edges.columns(2)).cast("long").as("dst"),
+      col(edges.columns(3)).cast("string").as("elabel"))
+    transactionGraphs(spark, v, e, operator)
+  }
+
   /** Mine frequent subtrees of sizes 1..maxPatternSize with support >=
     * threshold. verts: (graph_id, vid, vlabel); edges: (graph_id, src, dst,
     * elabel). Returns (size, cstring, support) ordered by (size, cstring). */
   def mine(spark: SparkSession, verts: DataFrame, edges: DataFrame,
       threshold: Long, maxPatternSize: Int,
-      operator: EmbeddingOp = ExactSubtree): DataFrame = {
+      operator: EmbeddingOp = ExactSubtree,
+      sharedGraphs: Option[Dataset[TGraph]] = None): DataFrame = {
     import spark.implicits._
     // v/e each feed exactly ONE consumer since round-6.2 (transactionGraphs;
     // the level-1 occurrence and the alphabet read the graph cache), so they
@@ -276,8 +294,9 @@ object FrequentSubtrees {
     // more than the per-level re-shuffle of compact tungsten rows it saves
     // at 2-3 levels. Reverted; the DFS miner (many passes per run) keeps
     // the object cache — see [[keyedGraphCtx]]/[[mineDfs]].
-    val graphs: Dataset[TGraph] = transactionGraphs(spark, v, e, operator)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ownGraphs = sharedGraphs.isEmpty
+    val graphs: Dataset[TGraph] = sharedGraphs.getOrElse(
+      transactionGraphs(spark, v, e, operator).persist(StorageLevel.MEMORY_AND_DISK))
 
     // ---- level 1: frequent vertex labels (getFrequentVertices) ----
     // Round-3 change: the per-level pattern dictionary STAYS DISTRIBUTED —
@@ -418,7 +437,7 @@ object FrequentSubtrees {
       level += 1
     }
 
-    graphs.unpersist(false)
+    if (ownGraphs) graphs.unpersist(false)
     vertOcc.unpersist(false)
     // One eager materialized result frame for the caller (same contract as
     // the graph loops' outputs); every internal frame is released below.

@@ -423,6 +423,13 @@ object MiningQueries {
       // order-independent up to the final sort). The caller's job group is
       // a thread-local, so it is re-established inside each worker thread:
       // a watchdog cancel of the group reaches all three loops.
+      // Round-6.2: the three variants have IDENTICAL transaction graphs
+      // (HopsVariant carries no per-transaction sampled structures), so the
+      // DB pipeline + TGraph re-index run ONCE into a shared cache instead
+      // of once per variant.
+      val shared = graft.mining.FrequentSubtrees.prepareGraphs(s, v, e,
+        graft.mining.FrequentSubtrees.HopsVariant(0, importance = 4, seed = 5150L))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sc = s.sparkContext
       val group = sc.getLocalProperty("spark.jobGroup.id")
       val desc = sc.getLocalProperty("spark.job.description")
@@ -433,12 +440,14 @@ object MiningQueries {
         Future {
           if (group != null) sc.setJobGroup(group, Option(desc).getOrElse(group), interrupt)
           try graft.mining.FrequentSubtrees.mine(s, v, e, threshold = 1L, maxPatternSize = 3,
-            operator = graft.mining.FrequentSubtrees.HopsVariant(m, importance = 4, seed = 5150L + m))
+            operator = graft.mining.FrequentSubtrees.HopsVariant(m, importance = 4, seed = 5150L + m),
+            sharedGraphs = Some(shared))
             .withColumn("variant", lit(m.toLong))
           finally if (group == null) sc.clearJobGroup()
         }
       }
       val parts = mined.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+      shared.unpersist(false)
       // Collapse the three materialized per-variant results into ONE
       // checkpoint-materialized frame and free theirs, so the query honors
       // the miners' one-persisted-result contract (Bench sweeps for leaks).
